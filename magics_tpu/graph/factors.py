@@ -1,0 +1,351 @@
+"""Batched factor updates — the GBP hot path.
+
+Each function updates *all* factors of one kind for all robots as a single
+dense tensor op, exactly reproducing `FactorNode::update`
+(crates/magics/src/factorgraph/factor/mod.rs:334-454):
+
+  1. linearisation point X0 = concatenated inbox means (empty -> zeros)
+  2. skip check (interrobot / tracking) -> skipped factors emit zero messages
+  3. h(X0), Jacobian J
+  4. potential: Lam_f = J^T Lam_m J,  eta_f = J^T Lam_m (J X0 + (z - h))
+  5. per-edge: add the *other* edges' incoming messages, Schur-marginalise
+     onto the edge's block (marginalise_factor_distance.rs:55-127); unary
+     factors pass the potential through unchanged.
+
+All factors have <= 2 neighbours and DOFS = 4, so marginalisation is the
+closed-form two-block form in `core.linalg.marginalize_two_block`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from magics_tpu.core.constants import DOFS
+from magics_tpu.core.linalg import marginalize_two_block
+
+
+def dynamic_factor_messages(
+    v2f_eta: jax.Array,   # [..., 2, 4]
+    v2f_lam: jax.Array,   # [..., 2, 4, 4]
+    v2f_mu: jax.Array,    # [..., 2, 4]
+    delta_t: jax.Array,   # [...]
+    sigma: float,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Messages from all dynamic (constant-velocity) factors.
+
+    Reference: factor/dynamic.rs:17-97. The factor is linear with z = 0, so
+    eta_f = J^T Q^-1 (J X0 - J X0) = 0 and the potential precision is the
+    constant J^T Q^-1 J built from the GP motion-prior blocks
+    Q^-1 = sigma^-2 * [[12 dt^-3 I, -6 dt^-2 I], [-6 dt^-2 I, 4 dt^-1 I]].
+
+    Returns (f2v_eta [..., 2, 4], f2v_lam [..., 2, 4, 4]).
+    """
+    batch = delta_t.shape
+    eye2 = jnp.eye(2, dtype=dtype)
+    zero2 = jnp.zeros((2, 2), dtype=dtype)
+
+    inv_s2 = 1.0 / (sigma * sigma)
+    dt = delta_t.astype(dtype)
+    q11 = (12.0 * inv_s2) / (dt * dt * dt)
+    q12 = (-6.0 * inv_s2) / (dt * dt)
+    q22 = (4.0 * inv_s2) / dt
+
+    def blk(s):  # [...] -> [..., 2, 2]
+        return s[..., None, None] * eye2
+
+    qinv = jnp.concatenate(
+        [
+            jnp.concatenate([blk(q11), blk(q12)], axis=-1),
+            jnp.concatenate([blk(q12), blk(q22)], axis=-1),
+        ],
+        axis=-2,
+    )  # [..., 4, 4]
+
+    # J = [[I, dt I, -I, 0], [0, I, 0, -I]]  (4 x 8), dynamic.rs:44-49
+    dtb = dt[..., None, None] * eye2
+    eye2b = jnp.broadcast_to(eye2, batch + (2, 2))
+    zero2b = jnp.broadcast_to(zero2, batch + (2, 2))
+    j_top = jnp.concatenate([eye2b, dtb, -eye2b, zero2b], axis=-1)
+    j_bot = jnp.concatenate([zero2b, eye2b, zero2b, -eye2b], axis=-1)
+    J = jnp.concatenate([j_top, j_bot], axis=-2)  # [..., 4, 8]
+
+    lam_f = jnp.einsum("...ki,...kl,...lj->...ij", J, qinv, J)  # [..., 8, 8]
+
+    # Marginalise to each side. Edge a = var i (block 0), edge b = var i+1.
+    laa = lam_f[..., :4, :4]
+    lab = lam_f[..., :4, 4:]
+    lba = lam_f[..., 4:, :4]
+    lbb = lam_f[..., 4:, 4:]
+
+    eta0 = jnp.zeros(batch + (4,), dtype=dtype)
+
+    # message to var i: other edge is slot 1
+    m0_eta, m0_lam, _ = marginalize_two_block(
+        eta0,
+        v2f_eta[..., 1, :],
+        laa,
+        lab,
+        lba,
+        lbb + v2f_lam[..., 1, :, :],
+    )
+    # message to var i+1: other edge is slot 0
+    m1_eta, m1_lam, _ = marginalize_two_block(
+        eta0,
+        v2f_eta[..., 0, :],
+        lbb,
+        lba,
+        lab,
+        laa + v2f_lam[..., 0, :, :],
+    )
+
+    f2v_eta = jnp.stack([m0_eta, m1_eta], axis=-2)
+    f2v_lam = jnp.stack([m0_lam, m1_lam], axis=-3)
+    return f2v_eta, f2v_lam
+
+
+def obstacle_factor_messages(
+    v2f_mu: jax.Array,     # [..., 4]
+    sdf: jax.Array,        # [H, W] float in [0, 1] — the "red channel / 255"
+    world_size: tuple[float, float],
+    sigma: float,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Messages from all obstacle (SDF lookup) factors.
+
+    Reference: factor/obstacle.rs:91-216. h = 1 - sdf[pixel(x, y)] with
+    nearest-pixel lookup (truncating cast, y axis flipped), 0 outside the
+    image; first-order Jacobian by finite differences with
+    delta = mean pixel size (only x and y contribute — velocity perturbations
+    cannot change the lookup, so those columns are exactly zero).
+    """
+    H, W = sdf.shape
+    ww, wh = world_size
+
+    x_scale = W / ww
+    y_scale = H / wh
+    delta = (ww / W + wh / H) / 2.0
+
+    def measure(px, py):
+        # world -> pixel (obstacle.rs:147-155). Rust's `as u32` cast truncates
+        # and saturates negatives to 0, so negative coordinates hit pixel 0
+        # (still in bounds); only overflow past the image edge returns 0
+        # ("empty space", obstacle.rs:169-176).
+        xf = (px + ww / 2.0) * x_scale
+        yf = (-py + wh / 2.0) * y_scale
+        xi = jnp.clip(jnp.floor(jnp.maximum(xf, 0.0)), 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(jnp.floor(jnp.maximum(yf, 0.0)), 0, H - 1).astype(jnp.int32)
+        inside = (xf < W) & (yf < H)
+        val = 1.0 - sdf[yi, xi]
+        return jnp.where(inside, val, 0.0).astype(dtype)
+
+    px = v2f_mu[..., 0]
+    py = v2f_mu[..., 1]
+
+    h0 = measure(px, py)
+    hx = measure(px + delta, py)
+    hy = measure(px, py + delta)
+
+    jx = (hx - h0) / delta
+    jy = (hy - h0) / delta
+    J = jnp.stack([jx, jy, jnp.zeros_like(jx), jnp.zeros_like(jx)], axis=-1)  # [..., 4]
+
+    lam_m = 1.0 / (sigma * sigma)
+    # unary: message is the potential itself (marginalise_factor_distance.rs:63-72)
+    # eta_f = J^T lam_m (J X0 + (0 - h0)); with scalar measurement this is
+    # J * lam_m * (J . X0 - h0)
+    jx0 = jnp.einsum("...i,...i->...", J, v2f_mu.astype(dtype))
+    eta_f = J * (lam_m * (jx0 - h0))[..., None]
+    lam_f = lam_m * J[..., :, None] * J[..., None, :]
+    return eta_f, lam_f
+
+
+def interrobot_factor_messages(
+    x_int: jax.Array,      # [..., 4] linearisation mean of the internal variable
+    x_ext: jax.Array,      # [..., 4] linearisation mean of the external variable
+    v2f_int_eta: jax.Array,  # [..., 4]
+    v2f_int_lam: jax.Array,  # [..., 4, 4]
+    v2f_ext_eta: jax.Array,  # [..., 4]
+    v2f_ext_lam: jax.Array,  # [..., 4, 4]
+    safety_distance: jax.Array,  # [...]
+    tiny_offset: jax.Array,      # [...]
+    sigma: float,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Messages from all inter-robot collision factors.
+
+    Reference: factor/interrobot.rs:40-237. h = 1 - r/d_safe when the two
+    positions are within the safety distance (else 0, and the factor is
+    skipped entirely when the *raw* squared distance >= d_safe^2 —
+    interrobot.rs:213-226, emitting empty messages). A tiny per-factor offset
+    avoids division by zero (interrobot.rs:91-106).
+
+    Returns (f2v_int_eta, f2v_int_lam, f2v_ext_eta, f2v_ext_lam, skipped).
+    The internal-edge message is computed for parity/testing even though the
+    reference drops it (factorgraph.rs:719-760); callers may ignore it.
+    """
+    d_raw = x_int[..., :2] - x_ext[..., :2]
+    dist2_raw = jnp.sum(d_raw * d_raw, axis=-1)
+    skipped = dist2_raw >= safety_distance * safety_distance
+
+    diff = d_raw + tiny_offset[..., None]
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    within = r <= safety_distance
+
+    h0 = jnp.where(within, 1.0 - r / safety_distance, 0.0).astype(dtype)
+
+    # J (1 x 8): J[0, 0:2] = -diff / (d_safe * r), J[0, 4:6] = +diff / (d_safe * r)
+    safe_r = jnp.where(r > 0, r, 1.0)
+    g = jnp.where(
+        within[..., None], -diff / (safety_distance[..., None] * safe_r[..., None]), 0.0
+    ).astype(dtype)
+    zero2 = jnp.zeros_like(g)
+    J = jnp.concatenate([g, zero2, -g, zero2], axis=-1)  # [..., 8]
+
+    lam_m = 1.0 / (sigma * sigma)
+    x0 = jnp.concatenate([x_int, x_ext], axis=-1).astype(dtype)  # [..., 8]
+    jx0 = jnp.einsum("...i,...i->...", J, x0)
+    eta_f = J * (lam_m * (jx0 - h0))[..., None]             # [..., 8]
+    lam_f = lam_m * J[..., :, None] * J[..., None, :]       # [..., 8, 8]
+
+    laa = lam_f[..., :4, :4]
+    lab = lam_f[..., :4, 4:]
+    lba = lam_f[..., 4:, :4]
+    lbb = lam_f[..., 4:, 4:]
+    eta_a = eta_f[..., :4]
+    eta_b = eta_f[..., 4:]
+
+    # message to the internal variable (block a); other edge = external
+    int_eta, int_lam, _ = marginalize_two_block(
+        eta_a, eta_b + v2f_ext_eta, laa, lab, lba, lbb + v2f_ext_lam
+    )
+    # message to the external variable (block b); other edge = internal
+    ext_eta, ext_lam, _ = marginalize_two_block(
+        eta_b, eta_a + v2f_int_eta, lbb, lba, lab, laa + v2f_int_lam
+    )
+
+    keep = ~skipped
+    int_eta = jnp.where(keep[..., None], int_eta, 0.0)
+    int_lam = jnp.where(keep[..., None, None], int_lam, 0.0)
+    ext_eta = jnp.where(keep[..., None], ext_eta, 0.0)
+    ext_lam = jnp.where(keep[..., None, None], ext_lam, 0.0)
+    return int_eta, int_lam, ext_eta, ext_lam, skipped
+
+
+def tracking_factor_messages(
+    v2f_mu: jax.Array,      # [R, F, 4]
+    path: jax.Array,        # [R, W, 2]
+    path_len: jax.Array,    # [R] i32
+    record: jax.Array,      # [R, F] i32
+    index: jax.Array,       # [R] i32 (unused by the maths; kept for parity)
+    timeout: jax.Array,     # [R, F] i32, -1 = none
+    switch_padding: float,
+    attraction_distance: float,
+    sigma: float,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Messages from all tracking (path-following) factors.
+
+    Reference: factor/tracking.rs:96-392. Projects the variable position onto
+    the path segment given by the factor's `record`, blends with the previous
+    segment near switch points, pulls with magnitude = clamped normalised
+    distance to the projection, and advances `record` when the projection
+    nears the segment end. Skips while a timeout is pending or the path is
+    exhausted (the robot-wide skip for the first 10 factor iterations is
+    applied by the caller, factorgraph.rs:701).
+
+    Returns (f2v_eta, f2v_lam, new_record, new_timeout, last_pos, last_val,
+    skipped).
+    """
+    R, F = record.shape
+    Wmax = path.shape[1]
+
+    x_pos = v2f_mu[..., :2]    # [R, F, 2]
+    x_vel = v2f_mu[..., 2:4]
+
+    plen = path_len[:, None]   # [R, 1]
+    max_record = jnp.maximum(plen - 2, 0)
+    rec = jnp.clip(record, 0, jnp.maximum(plen - 2, 0))
+
+    # segment endpoints via vectorized gather
+    def gather_pt(idx):  # [R, F] -> [R, F, 2]
+        idx_c = jnp.clip(idx, 0, Wmax - 1)
+        batch_r = jnp.arange(R)[:, None]
+        return path[batch_r, idx_c]
+
+    cur_s = gather_pt(rec)
+    cur_e = gather_pt(rec + 1)
+
+    line = cur_e - cur_s
+    line_dot = jnp.sum(line * line, axis=-1, keepdims=True)
+    safe_dot = jnp.where(line_dot > 0, line_dot, 1.0)
+    t_cur = jnp.sum((x_pos - cur_s) * line, axis=-1, keepdims=True) / safe_dot
+    proj_cur = cur_s + t_cur * line
+
+    d_pad = switch_padding
+    d_lo = d_pad * 0.01
+
+    cur_to_end = jnp.linalg.norm(cur_e - proj_cur, axis=-1)
+
+    # previous-segment blend (tracking.rs:255-290)
+    prev_s = gather_pt(jnp.maximum(rec - 1, 0))
+    prev_e = cur_s
+    pline = prev_e - prev_s
+    pline_dot = jnp.sum(pline * pline, axis=-1, keepdims=True)
+    psafe = jnp.where(pline_dot > 0, pline_dot, 1.0)
+    t_prev = jnp.sum((x_pos - prev_s) * pline, axis=-1, keepdims=True) / psafe
+    proj_prev = prev_s + t_prev * pline
+
+    cur_proj_to_prev_end = jnp.linalg.norm(prev_e - proj_cur, axis=-1)
+    prev_proj_to_prev_end = jnp.linalg.norm(cur_s - proj_prev, axis=-1)
+
+    use_prev = (
+        (rec > 0)
+        & (cur_proj_to_prev_end < d_pad)
+        & (cur_proj_to_prev_end > d_lo)
+        & (prev_proj_to_prev_end < d_pad)
+    )
+
+    # record increment (tracking.rs:292-296), clamped like increment_record
+    new_record = jnp.where(
+        cur_to_end < d_pad, jnp.minimum(rec + 1, max_record), rec
+    )
+
+    # measurement point (tracking.rs:299-317)
+    vel_norm = jnp.linalg.norm(x_vel, axis=-1, keepdims=True)
+    line_norm = jnp.linalg.norm(line, axis=-1, keepdims=True)
+    line_unit = jnp.where(line_norm > 0, line / jnp.where(line_norm > 0, line_norm, 1.0), 0.0)
+    mp_single = proj_cur + line_unit * vel_norm / 5.0
+    mp_blend = x_pos + (proj_cur - x_pos) + (proj_prev - x_pos)
+    mp = jnp.where(use_prev[..., None], mp_blend, mp_single)
+
+    # normalised distance (tracking.rs:321-333)
+    x_to_mp = mp - x_pos
+    d_mp = jnp.linalg.norm(x_to_mp, axis=-1)
+    h0 = jnp.minimum(d_mp / attraction_distance, 1.0).astype(dtype)
+
+    # Jacobian (tracking.rs:171-194): J[0, :2] = (x_pos - mp) / h0
+    safe_h0 = jnp.where(h0 != 0, h0, 1.0)
+    g = ((x_pos - mp).astype(dtype)) / safe_h0[..., None]
+    J = jnp.concatenate([g, jnp.zeros_like(g)], axis=-1)  # [R, F, 4]
+
+    lam_m = 1.0 / (sigma * sigma)
+    jx0 = jnp.einsum("...i,...i->...", J, v2f_mu.astype(dtype))
+    eta_f = J * (lam_m * (jx0 - h0))[..., None]
+    lam_f = lam_m * J[..., :, None] * J[..., None, :]
+
+    # skip logic (tracking.rs:362-381)
+    timed_out = timeout > 0
+    new_timeout = jnp.where(timed_out, timeout - 1, jnp.where(timeout == 0, -1, timeout))
+    path_done = (plen < 2) | (rec >= plen - 1)
+    skipped = timed_out | path_done | (h0 == 0)
+
+    keep = ~skipped
+    eta_f = jnp.where(keep[..., None], eta_f, 0.0)
+    lam_f = jnp.where(keep[..., None, None], lam_f, 0.0)
+    # record / last-measurement only advance when the factor actually measured
+    # (reference skip() returns before measure); the caller keeps old values
+    # where `skipped`.
+    new_record = jnp.where(keep, new_record, record)
+    return eta_f, lam_f, new_record, new_timeout, mp.astype(dtype), h0, skipped

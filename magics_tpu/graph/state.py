@@ -1,0 +1,333 @@
+"""Dense batched representation of all robots' factor graphs.
+
+The reference keeps one petgraph `FactorGraph` per robot
+(crates/magics/src/factorgraph/factorgraph.rs:76-120) and iterates nodes with
+CPU threads. Here the whole swarm is a fixed-capacity pytree of dense arrays:
+
+  R — robot capacity (padded; `active` masks live robots)
+  V — variables per robot chain (current state .. horizon)
+  K — inter-robot neighbour slots per robot (masked, fixed capacity)
+  W — max waypoints per robot route / tracking path
+
+Per-robot chain topology (reference robot.rs:1130-1356):
+  variables 0..V-1; dynamic factor i connects variables (i, i+1), i in 0..V-2;
+  obstacle + tracking factors are unary on interior variables 1..V-2;
+  an inter-robot connection (r, k) carries V-1 factors, factor i in 1..V-1
+  pairing r's variable i with neighbour nbr_idx[r,k]'s variable i.
+
+Message storage follows the reference's inbox model: `*_v2f_*` are
+variable->factor messages living in factor inboxes; `*_f2v_*` are
+factor->variable messages living in variable inboxes. "Empty" messages are
+all-zero (eta, lam, mu) — an exact semantic match, see
+crates/magics/src/factorgraph/message.rs (empty payloads contribute nothing to
+sums and linearisation-point slots fall back to 0, factor/mod.rs:336-349).
+
+Inter-robot specifics mirrored from the reference:
+  * A factor owned by robot r never delivers a message to r's own variable —
+    `external_factor_iteration` drops internal-edge messages on the floor
+    (factorgraph.rs:719-760). So only `ir_f2v_ext` exists.
+  * The internal variable's response to its own inter-robot factor is always
+    its full belief (its inbox entry from that factor stays empty forever), so
+    we store one belief snapshot per variable (`snap_*`) instead of per-slot
+    copies. The snapshot updates during internal variable passes and prior
+    changes — the moments the reference pushes responses into factor inboxes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magics_tpu.core.constants import DOFS
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@dataclasses.dataclass(frozen=True)
+class GbpParams:
+    """Static per-scenario parameters (hashable; closed over by jit).
+
+    Mirrors the relevant parts of the reference `Config` TOML schema
+    (crates/gbp_config/src/lib.rs:286-684).
+    """
+
+    n_vars: int  # V
+    n_slots: int  # K
+    max_waypoints: int  # W
+
+    # [gbp] sigmas (crates/gbp_config/src/lib.rs:544-594)
+    sigma_pose_fixed: float = 1e-15
+    sigma_factor_dynamics: float = 0.1
+    sigma_factor_interrobot: float = 0.01
+    sigma_factor_obstacle: float = 0.01
+    sigma_factor_tracking: float = 0.1
+    lookahead_multiple: int = 3
+
+    # [gbp.factors-enabled]
+    dynamic_enabled: bool = True
+    interrobot_enabled: bool = True
+    obstacle_enabled: bool = True
+    tracking_enabled: bool = True
+
+    # [gbp.tracking] (crates/gbp_config/src/lib.rs:500-537)
+    tracking_switch_padding: float = 1.0
+    tracking_attraction_distance: float = 2.0
+
+    # schedule — static tuple of (internal, external) booleans per micro-iter
+    schedule: tuple[tuple[bool, bool], ...] = ()
+
+    # [robot]
+    target_speed: float = 4.0
+    planning_horizon_seconds: float = 5.0
+    comms_radius: float = 20.0
+    comms_failure_rate: float = 0.2
+    safety_distance_multiplier: float = 2.2
+
+    # Variable placement along the horizon (utils.rs:34-96); length == n_vars.
+    variable_timesteps: tuple[int, ...] = ()
+
+    # [simulation]
+    hz: float = 60.0
+    despawn_on_final_waypoint: bool = True
+
+    # environment / SDF
+    world_width: float = 100.0
+    world_height: float = 100.0
+    sdf_shape: tuple[int, int] = (200, 200)  # (rows, cols) of the SDF image
+
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def dt(self) -> float:
+        return 1.0 / self.hz
+
+
+@_pytree_dataclass
+class SimState:
+    """All mutable simulation state as one pytree of dense arrays."""
+
+    # --- per-robot scalars -------------------------------------------------
+    active: jax.Array        # [R] bool — spawned and not despawned
+    mission_active: jax.Array  # [R] bool — MissionState::Active
+    completed: jax.Array     # [R] bool — mission completed
+    finished_at: jax.Array   # [R] f — virtual seconds; -1 while unfinished
+    spawn_tick: jax.Array    # [R] i32 — FixedUpdate tick at which robot spawns
+    pos: jax.Array           # [R, 2] — world position (the bevy Transform)
+    radius: jax.Array        # [R]
+    t0: jax.Array            # [R] — radius / 2 / target_speed (robot.rs:1225)
+    antenna: jax.Array       # [R] bool — comms radio currently active
+    iter_count_factor: jax.Array  # [R] i32 — factor-pass counter (tracking skip)
+
+    # --- mission / route ---------------------------------------------------
+    waypoints: jax.Array     # [R, W, 4] state-vector waypoints (incl. start)
+    n_waypoints: jax.Array   # [R] i32
+    target_idx: jax.Array    # [R] i32 — next waypoint index (starts at 1)
+    wp_check_var: jax.Array  # [R] i32 — which variable checks waypoint arrival
+    wp_check_dist2: jax.Array  # [R] — squared arrival distance (waypoints)
+    fin_check_var: jax.Array   # [R] i32 — variable checked for final arrival
+    fin_check_dist2: jax.Array  # [R]
+
+    # --- variables ---------------------------------------------------------
+    prior_mean: jax.Array    # [R, V, 4]
+    prior_sigma: jax.Array   # [R, V] — diagonal prior precision
+    belief_eta: jax.Array    # [R, V, 4]
+    belief_lam: jax.Array    # [R, V, 4, 4]
+    belief_mean: jax.Array   # [R, V, 4]
+    snap_eta: jax.Array      # [R, V, 4] — belief snapshot (see module doc)
+    snap_lam: jax.Array      # [R, V, 4, 4]
+    snap_mu: jax.Array       # [R, V, 4]
+
+    # --- dynamic factors (i connects vars i, i+1) --------------------------
+    dyn_v2f_eta: jax.Array   # [R, V-1, 2, 4]   slot 0: var i, slot 1: var i+1
+    dyn_v2f_lam: jax.Array   # [R, V-1, 2, 4, 4]
+    dyn_v2f_mu: jax.Array    # [R, V-1, 2, 4]
+    dyn_f2v_eta: jax.Array   # [R, V-1, 2, 4]
+    dyn_f2v_lam: jax.Array   # [R, V-1, 2, 4, 4]
+
+    # --- obstacle factors (unary on vars 1..V-2) ---------------------------
+    obs_v2f_mu: jax.Array    # [R, V-2, 4]
+    obs_f2v_eta: jax.Array   # [R, V-2, 4]
+    obs_f2v_lam: jax.Array   # [R, V-2, 4, 4]
+
+    # --- tracking factors (unary on vars 1..V-2) ---------------------------
+    trk_v2f_mu: jax.Array    # [R, V-2, 4]
+    trk_f2v_eta: jax.Array   # [R, V-2, 4]
+    trk_f2v_lam: jax.Array   # [R, V-2, 4, 4]
+    trk_record: jax.Array    # [R, V-2] i32
+    trk_timeout: jax.Array   # [R, V-2] i32 — -1 means no timeout
+    trk_index: jax.Array     # [R] i32 — waypoint index the horizon approaches
+    trk_last_pos: jax.Array  # [R, V-2, 2] — last measurement point
+    trk_last_val: jax.Array  # [R, V-2]
+    trk_path: jax.Array      # [R, W, 2]
+    trk_path_len: jax.Array  # [R] i32
+
+    # --- inter-robot connections ------------------------------------------
+    nbr_idx: jax.Array       # [R, K] i32 — neighbour robot index; -1 empty
+    nbr_mask: jax.Array      # [R, K] bool
+    ir_int_seeded: jax.Array  # [R, K, V-1] bool — internal v2f ever written
+    # Inboxes of the inter-robot factor owned by (r, k) at chain position i
+    # (pairing r's variable i+1 with neighbour's variable i+1):
+    ir_v2f_ext_eta: jax.Array  # [R, K, V-1, 4] — external variable's response
+    ir_v2f_ext_lam: jax.Array  # [R, K, V-1, 4, 4]
+    ir_v2f_ext_mu: jax.Array   # [R, K, V-1, 4]
+    # Outbox of the factor towards the external variable (the only message an
+    # inter-robot factor ever delivers, factorgraph.rs:719-760):
+    ir_f2v_ext_eta: jax.Array  # [R, K, V-1, 4]
+    ir_f2v_ext_lam: jax.Array  # [R, K, V-1, 4, 4]
+    # Inbox of r's variable i+1 for the message from the factor owned by
+    # neighbour (nbr_idx[r,k]) — the delivered copy (delivery is gated on the
+    # receiver's antenna/mission, robot.rs:1820-1830):
+    ext_inbox_eta: jax.Array   # [R, K, V-1, 4]
+    ext_inbox_lam: jax.Array   # [R, K, V-1, 4, 4]
+
+    # --- bookkeeping -------------------------------------------------------
+    tick: jax.Array          # [] i32 — FixedUpdate counter
+    rng: jax.Array           # jax PRNG key
+    # message counters [R, 4]: internal/external x sent/received
+    msg_counts: jax.Array
+    # collision counters
+    rr_collisions: jax.Array   # [] i32 — robot-robot collision events
+    re_collisions: jax.Array   # [] i32 — robot-environment collision events
+    rr_overlap: jax.Array      # [R, R] bool — current overlap (hysteresis)
+    re_overlap: jax.Array      # [R] bool
+
+    @property
+    def n_robots(self) -> int:
+        return self.active.shape[0]
+
+    @property
+    def n_vars(self) -> int:
+        return self.prior_mean.shape[1]
+
+
+def init_state(
+    params: GbpParams,
+    *,
+    n_robots: int,
+    start_states: np.ndarray,      # [R, 4] initial pose+velocity
+    waypoints: np.ndarray,         # [R, W, 4]
+    n_waypoints: np.ndarray,       # [R] i32
+    radii: np.ndarray,             # [R]
+    spawn_ticks: np.ndarray,       # [R] i32
+    variable_timesteps: np.ndarray,  # [V] i32
+    wp_check_var: np.ndarray,      # [R] i32
+    wp_check_dist2: np.ndarray,    # [R]
+    fin_check_var: np.ndarray,     # [R] i32
+    fin_check_dist2: np.ndarray,   # [R]
+    seed: int = 0,
+) -> SimState:
+    """Build the initial dense state for a scenario.
+
+    Mirrors `RobotBundle::new` (robot.rs:1130-1356): variables interpolated
+    from start towards the horizon point (start advanced min(dist, horizon *
+    speed) towards the first waypoint), endpoint priors pinned at 1e30,
+    interior priors zero; all messages empty except the tracking factors'
+    initial v2f mean which is seeded with the variable's initial mean
+    (factorgraph.rs:314-326: tracking factors receive a real initial message).
+    """
+    R, V, K, W = n_robots, params.n_vars, params.n_slots, params.max_waypoints
+    f = params.dtype
+    assert variable_timesteps.shape[0] == V
+
+    start = start_states.astype(np.float64)  # [R, 4]
+    first_wp = waypoints[np.arange(R), np.minimum(1, n_waypoints - 1)].astype(np.float64)
+
+    # Horizon initialisation (robot.rs:1161-1169):
+    # horizon = start + min(|g - s|, planning_horizon * speed) * normalize(g - s)
+    start2goal = first_wp - start
+    dist = np.linalg.norm(start2goal, axis=-1, keepdims=True)
+    ph_speed = params.target_speed * params.planning_horizon_seconds
+    direction = np.where(dist > 0, start2goal / np.maximum(dist, 1e-30), 0.0)
+    horizon = start + np.minimum(dist, ph_speed) * direction
+
+    ts = variable_timesteps.astype(np.float64)
+    frac = ts / max(float(ts[-1]), 1.0)  # [V]
+    means = start[:, None, :] + (horizon - start)[:, None, :] * frac[None, :, None]  # [R,V,4]
+
+    prior_sigma = np.zeros((R, V), dtype=np.float64)
+    prior_sigma[:, 0] = 1e30
+    prior_sigma[:, -1] = 1e30
+
+    belief_lam = np.einsum("rv,ij->rvij", prior_sigma, np.eye(DOFS))
+    belief_eta = prior_sigma[..., None] * means
+
+    Vm1, Vm2 = V - 1, max(V - 2, 0)
+
+    zeros = lambda *shape: jnp.zeros(shape, dtype=f)
+    izeros = lambda *shape: jnp.zeros(shape, dtype=jnp.int32)
+
+    path = waypoints[:, :, :2].astype(np.float64)
+
+    state = SimState(
+        active=jnp.zeros((R,), dtype=bool),
+        mission_active=jnp.zeros((R,), dtype=bool),
+        completed=jnp.zeros((R,), dtype=bool),
+        finished_at=jnp.full((R,), -1.0, dtype=f),
+        spawn_tick=jnp.asarray(spawn_ticks, dtype=jnp.int32),
+        pos=jnp.asarray(start[:, :2], dtype=f),
+        radius=jnp.asarray(radii, dtype=f),
+        t0=jnp.asarray(radii / 2.0 / params.target_speed, dtype=f),
+        antenna=jnp.ones((R,), dtype=bool),
+        iter_count_factor=izeros(R),
+        waypoints=jnp.asarray(waypoints, dtype=f),
+        n_waypoints=jnp.asarray(n_waypoints, dtype=jnp.int32),
+        target_idx=jnp.ones((R,), dtype=jnp.int32),
+        wp_check_var=jnp.asarray(wp_check_var, dtype=jnp.int32),
+        wp_check_dist2=jnp.asarray(wp_check_dist2, dtype=f),
+        fin_check_var=jnp.asarray(fin_check_var, dtype=jnp.int32),
+        fin_check_dist2=jnp.asarray(fin_check_dist2, dtype=f),
+        prior_mean=jnp.asarray(means, dtype=f),
+        prior_sigma=jnp.asarray(prior_sigma, dtype=f),
+        belief_eta=jnp.asarray(belief_eta, dtype=f),
+        belief_lam=jnp.asarray(belief_lam, dtype=f),
+        belief_mean=jnp.asarray(means, dtype=f),
+        snap_eta=jnp.asarray(belief_eta, dtype=f),
+        snap_lam=jnp.asarray(belief_lam, dtype=f),
+        snap_mu=jnp.asarray(means, dtype=f),
+        dyn_v2f_eta=zeros(R, Vm1, 2, DOFS),
+        dyn_v2f_lam=zeros(R, Vm1, 2, DOFS, DOFS),
+        dyn_v2f_mu=zeros(R, Vm1, 2, DOFS),
+        dyn_f2v_eta=zeros(R, Vm1, 2, DOFS),
+        dyn_f2v_lam=zeros(R, Vm1, 2, DOFS, DOFS),
+        obs_v2f_mu=zeros(R, Vm2, DOFS),
+        obs_f2v_eta=zeros(R, Vm2, DOFS),
+        obs_f2v_lam=zeros(R, Vm2, DOFS, DOFS),
+        # tracking factors receive a real initial message (factorgraph.rs:314-326)
+        trk_v2f_mu=jnp.asarray(means[:, 1 : V - 1, :], dtype=f),
+        trk_f2v_eta=zeros(R, Vm2, DOFS),
+        trk_f2v_lam=zeros(R, Vm2, DOFS, DOFS),
+        trk_record=izeros(R, Vm2),
+        trk_timeout=jnp.full((R, Vm2), -1, dtype=jnp.int32),
+        trk_index=jnp.ones((R,), dtype=jnp.int32),
+        trk_last_pos=jnp.asarray(means[:, 1 : V - 1, :2], dtype=f),
+        trk_last_val=zeros(R, Vm2),
+        trk_path=jnp.asarray(path, dtype=f),
+        trk_path_len=jnp.asarray(n_waypoints, dtype=jnp.int32),
+        nbr_idx=jnp.full((R, K), -1, dtype=jnp.int32),
+        nbr_mask=jnp.zeros((R, K), dtype=bool),
+        ir_int_seeded=jnp.zeros((R, K, Vm1), dtype=bool),
+        ir_v2f_ext_eta=zeros(R, K, Vm1, DOFS),
+        ir_v2f_ext_lam=zeros(R, K, Vm1, DOFS, DOFS),
+        ir_v2f_ext_mu=zeros(R, K, Vm1, DOFS),
+        ir_f2v_ext_eta=zeros(R, K, Vm1, DOFS),
+        ir_f2v_ext_lam=zeros(R, K, Vm1, DOFS, DOFS),
+        ext_inbox_eta=zeros(R, K, Vm1, DOFS),
+        ext_inbox_lam=zeros(R, K, Vm1, DOFS, DOFS),
+        tick=jnp.asarray(0, dtype=jnp.int32),
+        rng=jax.random.PRNGKey(seed),
+        msg_counts=izeros(R, 4),
+        rr_collisions=jnp.asarray(0, dtype=jnp.int32),
+        re_collisions=jnp.asarray(0, dtype=jnp.int32),
+        rr_overlap=jnp.zeros((R, R), dtype=bool),
+        re_overlap=jnp.zeros((R,), dtype=bool),
+    )
+    return state

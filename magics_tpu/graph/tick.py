@@ -1,0 +1,855 @@
+"""One simulation FixedUpdate tick, fully jitted.
+
+Mirrors the reference's FixedUpdate system chain
+(crates/magics/src/planner/robot.rs:86-108):
+
+    reached_waypoint
+    update_robot_neighbours  -> delete/create inter-robot factors
+    update_failed_comms
+    update_prior_of_horizon_state
+    update_prior_of_current_state_v3
+    iterate_gbp_v2  (schedule of internal/external GBP passes)
+
+plus robot spawn activation and collision counting. Everything is dense and
+masked — robot `active`/`mission` gates replace the reference's per-entity
+queries, and inter-robot message routing becomes gathers over the neighbour
+slot tables (cross-device these lower to XLA collectives under jit/shard_map).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+
+from magics_tpu.core.constants import DOFS, TRACKING_SKIP_FIRST_N_FACTOR_ITERS
+from magics_tpu.graph import factors as F
+from magics_tpu.graph import variables as VU
+from magics_tpu.graph.state import GbpParams, SimState
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _exp(mask: jax.Array, ndim_extra: int) -> jax.Array:
+    """Expand a boolean mask with trailing singleton dims."""
+    return mask.reshape(mask.shape + (1,) * ndim_extra)
+
+
+def _where_rows(gate_r: jax.Array, new, old):
+    """Per-robot select across a pytree of [R, ...] arrays."""
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(_exp(gate_r, n.ndim - 1), n, o), new, old
+    )
+
+
+def compute_back_slots(nbr_idx: jax.Array, nbr_mask: jax.Array):
+    """back[r, k] = slot k' on robot j = nbr_idx[r,k] with nbr_idx[j,k'] == r.
+
+    Inter-robot connections are created symmetrically
+    (robot.rs:1441-1586), so an active slot always has a reciprocal slot;
+    `has_back` guards transient asymmetry (e.g. capacity overflow).
+    """
+    R, K = nbr_idx.shape
+    safe = jnp.clip(nbr_idx, 0, R - 1)
+    their_rows = nbr_idx[safe]            # [R, K, K]
+    me = jnp.arange(R, dtype=nbr_idx.dtype)[:, None, None]
+    eq = their_rows == me                  # [R, K, K]
+    back = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+    has_back = jnp.any(eq, axis=-1) & nbr_mask
+    return back, has_back
+
+
+def _gather_from_peer(arr: jax.Array, nbr_idx, back, mask):
+    """out[r, k, ...] = arr[nbr_idx[r,k], back[r,k], ...], 0 where ~mask."""
+    R, K = nbr_idx.shape
+    safe_i = jnp.clip(nbr_idx, 0, R - 1)
+    safe_b = jnp.clip(back, 0, K - 1)
+    out = arr[safe_i, safe_b]
+    return jnp.where(_exp(mask, out.ndim - 2), out, 0)
+
+
+def _gather_robot(arr: jax.Array, nbr_idx, mask):
+    """out[r, k, ...] = arr[nbr_idx[r,k], ...], 0 where ~mask."""
+    R = arr.shape[0]
+    safe = jnp.clip(nbr_idx, 0, R - 1)
+    out = arr[safe]
+    return jnp.where(_exp(mask, out.ndim - 2), out, 0)
+
+
+# --------------------------------------------------------------------------
+# spawn / waypoints / comms
+# --------------------------------------------------------------------------
+
+def activate_due_spawns(state: SimState) -> SimState:
+    """Activate robots whose spawn tick has arrived (spawner.rs timers)."""
+    due = (
+        (~state.active)
+        & (~state.completed)
+        & (state.spawn_tick >= 0)
+        & (state.spawn_tick <= state.tick)
+    )
+    return replace(
+        state,
+        active=state.active | due,
+        mission_active=state.mission_active | due,
+    )
+
+
+def check_waypoints(state: SimState, params: GbpParams) -> SimState:
+    """`reached_waypoint` (robot.rs:2080-2176) + despawn-on-finish."""
+    R, V = state.prior_mean.shape[:2]
+    gate = state.active & state.mission_active & ~state.completed
+    has_next = state.target_idx < state.n_waypoints
+    gate = gate & has_next
+
+    is_last = state.target_idx == state.n_waypoints - 1
+    check_var = jnp.where(is_last, state.fin_check_var, state.wp_check_var)
+    check_d2 = jnp.where(is_last, state.fin_check_dist2, state.wp_check_dist2)
+
+    est = jnp.take_along_axis(
+        state.belief_mean[..., :2], jnp.clip(check_var, 0, V - 1)[:, None, None], axis=1
+    )[:, 0]  # [R, 2]
+
+    wp = jnp.take_along_axis(
+        state.waypoints[..., :2],
+        jnp.clip(state.target_idx, 0, state.waypoints.shape[1] - 1)[:, None, None],
+        axis=1,
+    )[:, 0]
+
+    d2 = jnp.sum((est - wp) ** 2, axis=-1)
+    reached = gate & (d2 < check_d2)
+
+    new_target = jnp.where(reached, state.target_idx + 1, state.target_idx)
+    newly_completed = reached & (new_target >= state.n_waypoints)
+    completed = state.completed | newly_completed
+
+    elapsed = state.tick.astype(state.finished_at.dtype) / params.hz
+    finished_at = jnp.where(newly_completed, elapsed, state.finished_at)
+
+    # tracking factors follow the new waypoint index (robot.rs:2157-2166)
+    trk_index = jnp.where(reached & ~newly_completed, new_target, state.trk_index)
+
+    active = state.active
+    mission_active = state.mission_active & ~newly_completed
+    if params.despawn_on_final_waypoint:
+        active = active & ~newly_completed
+
+    return replace(
+        state,
+            target_idx=new_target,
+            completed=completed,
+            finished_at=finished_at,
+            trk_index=trk_index,
+            active=active,
+            mission_active=mission_active,
+    )
+
+
+def update_failed_comms(state: SimState, params: GbpParams) -> SimState:
+    """Bernoulli antenna failure per robot per tick (robot.rs:1593-1601)."""
+    if params.comms_failure_rate <= 0.0:
+        return replace(state, antenna=jnp.ones_like(state.antenna))
+    key, sub = jax.random.split(state.rng)
+    off = jax.random.bernoulli(
+        sub, params.comms_failure_rate, shape=state.antenna.shape
+    )
+    return replace(state, antenna=~off, rng=key)
+
+
+# --------------------------------------------------------------------------
+# connectivity (delete/create inter-robot factors)
+# --------------------------------------------------------------------------
+
+def update_connectivity(state: SimState, params: GbpParams) -> SimState:
+    """Neighbour discovery + inter-robot factor lifecycle.
+
+    Reference: update_robot_neighbours (O(N^2) range check,
+    robot.rs:1362-1384), delete_interrobot_factors (robot.rs:1386-1439),
+    create_interrobot_factors (robot.rs:1441-1586). Dense version: a masked
+    fixed-capacity slot table per robot; dropped slots zero their message
+    state; new slots seed the factor's external-variable inbox with the
+    neighbour's current belief (the reference's initial message exchange,
+    robot.rs:1547-1585).
+    """
+    R, K = state.nbr_idx.shape
+    act = state.active
+
+    diff = state.pos[:, None, :] - state.pos[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    radius2 = params.comms_radius * params.comms_radius
+    eye = jnp.eye(R, dtype=bool)
+    in_range = (d2 <= radius2) & ~eye & act[:, None] & act[None, :]
+
+    rows = jnp.arange(R)[:, None]
+
+    # keep slots whose pair is still in range
+    safe_idx = jnp.clip(state.nbr_idx, 0, R - 1)
+    keep = state.nbr_mask & in_range[rows, safe_idx]
+
+    # connected matrix from kept slots (scatter into R+1 cols, last is junk)
+    cols = jnp.where(keep, state.nbr_idx, R)
+    conn = (
+        jnp.zeros((R, R + 1), dtype=jnp.int32)
+        .at[rows, cols]
+        .max(keep.astype(jnp.int32))[:, :R]
+        .astype(bool)
+    )
+
+    new_pair = in_range & ~conn  # [R, R]
+
+    # rank new neighbours in ascending id order (BTreeSet iteration order)
+    new_rank = jnp.cumsum(new_pair, axis=1) - 1          # [R, R]
+    n_free_slots = jnp.sum(~keep, axis=1)                 # [R]
+
+    # m-th free slot (ascending k): argsort puts free slots first
+    slot_order = jnp.argsort(
+        jnp.where(~keep, jnp.arange(K)[None, :], K + jnp.arange(K)[None, :]), axis=1
+    )  # [R, K]
+
+    assignable = new_pair & (new_rank < n_free_slots[:, None]) & (new_rank < K)
+    target_slot = jnp.take_along_axis(
+        slot_order, jnp.clip(new_rank, 0, K - 1), axis=1
+    )  # [R, R] — slot for each candidate j
+
+    scat_slot = jnp.where(assignable, target_slot, K)
+    nbr_idx_p = jnp.concatenate(
+        [jnp.where(keep, state.nbr_idx, -1), jnp.full((R, 1), -1, jnp.int32)], axis=1
+    )
+    j_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (R, R))
+    nbr_idx_new = nbr_idx_p.at[rows, scat_slot].set(
+        jnp.where(assignable, j_ids, -1), mode="drop"
+    )[:, :K]
+    # re-derive: slots that are kept OR newly assigned
+    nbr_idx_new = jnp.where(keep, state.nbr_idx, nbr_idx_new)
+    is_new = ~keep & (nbr_idx_new >= 0)
+    mask_new = keep | is_new
+
+    # enforce reciprocity (both sides allocated a slot)
+    back, has_back = compute_back_slots(nbr_idx_new, mask_new)
+    mask_new = mask_new & has_back
+    is_new = is_new & mask_new
+
+    # ---- message state maintenance ----
+    slot_reset = ~keep  # covers dropped and newly-created slots
+    V1 = state.ir_v2f_ext_eta.shape[2]
+
+    def reset(arr):
+        return jnp.where(_exp(slot_reset, arr.ndim - 2), 0, arr)
+
+    ir_v2f_ext_eta = reset(state.ir_v2f_ext_eta)
+    ir_v2f_ext_lam = reset(state.ir_v2f_ext_lam)
+    ir_v2f_ext_mu = reset(state.ir_v2f_ext_mu)
+    ir_f2v_ext_eta = reset(state.ir_f2v_ext_eta)
+    ir_f2v_ext_lam = reset(state.ir_f2v_ext_lam)
+    ext_inbox_eta = reset(state.ext_inbox_eta)
+    ext_inbox_lam = reset(state.ext_inbox_lam)
+    seeded = jnp.where(slot_reset[..., None], False, state.ir_int_seeded)
+
+    # seed new factors' external inbox with the neighbour's current belief
+    # (prepare_message of the nth variable, robot.rs:1556-1566). Variables
+    # 1..V-1 of the neighbour map to chain slots 0..V-2.
+    nbr_belief_eta = _gather_robot(state.belief_eta, nbr_idx_new, is_new)[:, :, 1:, :]
+    nbr_belief_lam = _gather_robot(state.belief_lam, nbr_idx_new, is_new)[:, :, 1:, :, :]
+    nbr_belief_mu = _gather_robot(state.belief_mean, nbr_idx_new, is_new)[:, :, 1:, :]
+
+    newm = _exp(is_new, 2)
+    ir_v2f_ext_eta = jnp.where(newm, nbr_belief_eta, ir_v2f_ext_eta)
+    ir_v2f_ext_mu = jnp.where(newm, nbr_belief_mu, ir_v2f_ext_mu)
+    ir_v2f_ext_lam = jnp.where(_exp(is_new, 3), nbr_belief_lam, ir_v2f_ext_lam)
+
+    return replace(
+        state,
+            nbr_idx=jnp.where(mask_new, nbr_idx_new, -1),
+            nbr_mask=mask_new,
+            ir_int_seeded=seeded,
+            ir_v2f_ext_eta=ir_v2f_ext_eta,
+            ir_v2f_ext_lam=ir_v2f_ext_lam,
+            ir_v2f_ext_mu=ir_v2f_ext_mu,
+            ir_f2v_ext_eta=ir_f2v_ext_eta,
+            ir_f2v_ext_lam=ir_f2v_ext_lam,
+            ext_inbox_eta=ext_inbox_eta,
+            ext_inbox_lam=ext_inbox_lam,
+    )
+
+
+# --------------------------------------------------------------------------
+# prior updates
+# --------------------------------------------------------------------------
+
+def update_prior_horizon(state: SimState, params: GbpParams) -> SimState:
+    """`update_prior_of_horizon_state` (robot.rs:2182-2283).
+
+    The horizon variable's prior mean is pulled towards the next waypoint at
+    (at most) target speed; change_prior semantics: the variable's belief
+    mean jumps to the new mean, its full belief (old eta/lam, new mean) is
+    sent to every connected factor, and its own inbox is emptied
+    (variable.rs:203-230).
+    """
+    internal_iters = sum(1 for i, _ in params.schedule if i)
+    if internal_iters == 0:
+        return state
+
+    R, V = state.prior_mean.shape[:2]
+    f = state.prior_mean.dtype
+    gate = (
+        state.active
+        & state.mission_active
+        & ~state.completed
+        & (state.target_idx < state.n_waypoints)
+    )
+
+    est_pos = state.belief_mean[:, V - 1, :2]
+    wp = jnp.take_along_axis(
+        state.waypoints[..., :2],
+        jnp.clip(state.target_idx, 0, state.waypoints.shape[1] - 1)[:, None, None],
+        axis=1,
+    )[:, 0]
+    h2w = wp - est_pos
+    dist = jnp.linalg.norm(h2w, axis=-1, keepdims=True)
+    direction = jnp.where(dist > 0, h2w / jnp.where(dist > 0, dist, 1.0), 0.0)
+    new_vel = jnp.minimum(params.target_speed, dist) * direction
+    new_pos = est_pos + new_vel * params.dt
+    new_mean = jnp.concatenate([new_pos, new_vel], axis=-1).astype(f)  # [R, 4]
+
+    g1 = _exp(gate, 1)
+
+    prior_mean = state.prior_mean.at[:, V - 1].set(
+        jnp.where(g1, new_mean, state.prior_mean[:, V - 1])
+    )
+    belief_mean = state.belief_mean.at[:, V - 1].set(
+        jnp.where(g1, new_mean, state.belief_mean[:, V - 1])
+    )
+
+    # responses to connected factors: (old belief eta/lam, new mean)
+    h_eta = state.belief_eta[:, V - 1]
+    h_lam = state.belief_lam[:, V - 1]
+
+    dyn_v2f_eta = state.dyn_v2f_eta.at[:, V - 2, 1].set(
+        jnp.where(g1, h_eta, state.dyn_v2f_eta[:, V - 2, 1])
+    )
+    dyn_v2f_lam = state.dyn_v2f_lam.at[:, V - 2, 1].set(
+        jnp.where(_exp(gate, 2), h_lam, state.dyn_v2f_lam[:, V - 2, 1])
+    )
+    dyn_v2f_mu = state.dyn_v2f_mu.at[:, V - 2, 1].set(
+        jnp.where(g1, new_mean, state.dyn_v2f_mu[:, V - 2, 1])
+    )
+
+    snap_eta = state.snap_eta.at[:, V - 1].set(
+        jnp.where(g1, h_eta, state.snap_eta[:, V - 1])
+    )
+    snap_lam = state.snap_lam.at[:, V - 1].set(
+        jnp.where(_exp(gate, 2), h_lam, state.snap_lam[:, V - 1])
+    )
+    snap_mu = state.snap_mu.at[:, V - 1].set(
+        jnp.where(g1, new_mean, state.snap_mu[:, V - 1])
+    )
+    seeded = state.ir_int_seeded.at[:, :, V - 2].set(
+        jnp.where(gate[:, None], state.nbr_mask, state.ir_int_seeded[:, :, V - 2])
+    )
+
+    # deliver responses to external factors (ungated receive,
+    # robot.rs:2272-2282): the factor owned by (j, k) at chain slot V-2 has
+    # r = nbr_idx[j, k]'s horizon variable as its external variable.
+    back, _ = compute_back_slots(state.nbr_idx, state.nbr_mask)
+    src = jnp.clip(state.nbr_idx, 0, R - 1)  # [R, K] — j's neighbour r
+    sent = gate[src] & state.nbr_mask        # r actually changed its prior
+    ir_v2f_ext_eta = state.ir_v2f_ext_eta.at[:, :, V - 2].set(
+        jnp.where(_exp(sent, 1), h_eta[src], state.ir_v2f_ext_eta[:, :, V - 2])
+    )
+    ir_v2f_ext_lam = state.ir_v2f_ext_lam.at[:, :, V - 2].set(
+        jnp.where(_exp(sent, 2), h_lam[src], state.ir_v2f_ext_lam[:, :, V - 2])
+    )
+    ir_v2f_ext_mu = state.ir_v2f_ext_mu.at[:, :, V - 2].set(
+        jnp.where(_exp(sent, 1), new_mean[src], state.ir_v2f_ext_mu[:, :, V - 2])
+    )
+
+    # empty the horizon variable's inbox
+    dyn_f2v_eta = state.dyn_f2v_eta.at[:, V - 2, 1].set(
+        jnp.where(g1, 0.0, state.dyn_f2v_eta[:, V - 2, 1])
+    )
+    dyn_f2v_lam = state.dyn_f2v_lam.at[:, V - 2, 1].set(
+        jnp.where(_exp(gate, 2), 0.0, state.dyn_f2v_lam[:, V - 2, 1])
+    )
+    ext_inbox_eta = state.ext_inbox_eta.at[:, :, V - 2].set(
+        jnp.where(_exp(gate, 2), 0.0, state.ext_inbox_eta[:, :, V - 2])
+    )
+    ext_inbox_lam = state.ext_inbox_lam.at[:, :, V - 2].set(
+        jnp.where(_exp(gate, 3), 0.0, state.ext_inbox_lam[:, :, V - 2])
+    )
+
+    return replace(
+        state,
+            prior_mean=prior_mean,
+            belief_mean=belief_mean,
+            dyn_v2f_eta=dyn_v2f_eta,
+            dyn_v2f_lam=dyn_v2f_lam,
+            dyn_v2f_mu=dyn_v2f_mu,
+            snap_eta=snap_eta,
+            snap_lam=snap_lam,
+            snap_mu=snap_mu,
+            ir_int_seeded=seeded,
+            ir_v2f_ext_eta=ir_v2f_ext_eta,
+            ir_v2f_ext_lam=ir_v2f_ext_lam,
+            ir_v2f_ext_mu=ir_v2f_ext_mu,
+            dyn_f2v_eta=dyn_f2v_eta,
+            dyn_f2v_lam=dyn_f2v_lam,
+            ext_inbox_eta=ext_inbox_eta,
+            ext_inbox_lam=ext_inbox_lam,
+    )
+
+
+def update_prior_current(state: SimState, params: GbpParams) -> SimState:
+    """`update_prior_of_current_state_v3` (robot.rs:2286-2338).
+
+    The current variable's mean advances towards variable 1 by
+    dt / t0, and the robot's world transform moves by the same amount.
+    """
+    R, V = state.prior_mean.shape[:2]
+    # reference gate: only Idle missions skip (robot.rs:2305) — Completed
+    # robots that have not despawned keep driving towards variable 1.
+    gate = state.active & (state.mission_active | state.completed)
+    g1 = _exp(gate, 1)
+
+    time_scale = (params.dt / state.t0)[:, None]  # [R, 1]
+    change = time_scale * (state.belief_mean[:, 1] - state.belief_mean[:, 0])
+    new_mean = state.belief_mean[:, 0] + change
+
+    prior_mean = state.prior_mean.at[:, 0].set(
+        jnp.where(g1, new_mean, state.prior_mean[:, 0])
+    )
+    belief_mean = state.belief_mean.at[:, 0].set(
+        jnp.where(g1, new_mean, state.belief_mean[:, 0])
+    )
+
+    c_eta = state.belief_eta[:, 0]
+    c_lam = state.belief_lam[:, 0]
+
+    dyn_v2f_eta = state.dyn_v2f_eta.at[:, 0, 0].set(
+        jnp.where(g1, c_eta, state.dyn_v2f_eta[:, 0, 0])
+    )
+    dyn_v2f_lam = state.dyn_v2f_lam.at[:, 0, 0].set(
+        jnp.where(_exp(gate, 2), c_lam, state.dyn_v2f_lam[:, 0, 0])
+    )
+    dyn_v2f_mu = state.dyn_v2f_mu.at[:, 0, 0].set(
+        jnp.where(g1, new_mean, state.dyn_v2f_mu[:, 0, 0])
+    )
+    snap_eta = state.snap_eta.at[:, 0].set(jnp.where(g1, c_eta, state.snap_eta[:, 0]))
+    snap_lam = state.snap_lam.at[:, 0].set(
+        jnp.where(_exp(gate, 2), c_lam, state.snap_lam[:, 0])
+    )
+    snap_mu = state.snap_mu.at[:, 0].set(jnp.where(g1, new_mean, state.snap_mu[:, 0]))
+
+    dyn_f2v_eta = state.dyn_f2v_eta.at[:, 0, 0].set(
+        jnp.where(g1, 0.0, state.dyn_f2v_eta[:, 0, 0])
+    )
+    dyn_f2v_lam = state.dyn_f2v_lam.at[:, 0, 0].set(
+        jnp.where(_exp(gate, 2), 0.0, state.dyn_f2v_lam[:, 0, 0])
+    )
+
+    pos = jnp.where(g1, state.pos + change[:, :2], state.pos)
+
+    return replace(
+        state,
+            prior_mean=prior_mean,
+            belief_mean=belief_mean,
+            dyn_v2f_eta=dyn_v2f_eta,
+            dyn_v2f_lam=dyn_v2f_lam,
+            dyn_v2f_mu=dyn_v2f_mu,
+            snap_eta=snap_eta,
+            snap_lam=snap_lam,
+            snap_mu=snap_mu,
+            dyn_f2v_eta=dyn_f2v_eta,
+            dyn_f2v_lam=dyn_f2v_lam,
+            pos=pos,
+    )
+
+
+# --------------------------------------------------------------------------
+# GBP passes
+# --------------------------------------------------------------------------
+
+def _not_idle(state: SimState) -> jax.Array:
+    # MissionState is Idle only for global planning before a path arrives;
+    # Active and Completed both iterate (robot.rs:1795).
+    return state.mission_active | state.completed
+
+
+def internal_factor_pass(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
+    """All non-interrobot factors update (factorgraph.rs:686-714)."""
+    R, V = state.prior_mean.shape[:2]
+    gate = state.active & _not_idle(state)
+    g2 = _exp(gate, 2)
+    g3 = _exp(gate, 3)
+
+    updates: dict = {}
+
+    if params.dynamic_enabled:
+        ts = jnp.asarray(params.variable_timesteps, dtype=state.t0.dtype)
+        dt_gaps = ts[1:] - ts[:-1]  # [V-1]
+        delta_t = state.t0[:, None] * dt_gaps[None, :]  # [R, V-1]
+        f2v_eta, f2v_lam = F.dynamic_factor_messages(
+            state.dyn_v2f_eta,
+            state.dyn_v2f_lam,
+            state.dyn_v2f_mu,
+            delta_t,
+            params.sigma_factor_dynamics,
+            dtype=state.prior_mean.dtype,
+        )
+        updates["dyn_f2v_eta"] = jnp.where(_exp(gate, 3), f2v_eta, state.dyn_f2v_eta)
+        updates["dyn_f2v_lam"] = jnp.where(_exp(gate, 4), f2v_lam, state.dyn_f2v_lam)
+
+    if params.obstacle_enabled and V > 2:
+        o_eta, o_lam = F.obstacle_factor_messages(
+            state.obs_v2f_mu,
+            sdf,
+            (params.world_width, params.world_height),
+            params.sigma_factor_obstacle,
+            dtype=state.prior_mean.dtype,
+        )
+        updates["obs_f2v_eta"] = jnp.where(g2, o_eta, state.obs_f2v_eta)
+        updates["obs_f2v_lam"] = jnp.where(g3, o_lam, state.obs_f2v_lam)
+
+    if params.tracking_enabled and V > 2:
+        # factorgraph.rs:701 — skip tracking for the first 10 factor passes
+        t_gate = gate & (state.iter_count_factor >= TRACKING_SKIP_FIRST_N_FACTOR_ITERS)
+        t2 = _exp(t_gate, 2)
+        (
+            t_eta,
+            t_lam,
+            new_record,
+            new_timeout,
+            last_pos,
+            last_val,
+            skipped,
+        ) = F.tracking_factor_messages(
+            state.trk_v2f_mu,
+            state.trk_path,
+            state.trk_path_len,
+            state.trk_record,
+            state.trk_index,
+            state.trk_timeout,
+            params.tracking_switch_padding,
+            params.tracking_attraction_distance,
+            params.sigma_factor_tracking,
+            dtype=state.prior_mean.dtype,
+        )
+        measured = _exp(t_gate, 1) & ~skipped
+        updates["trk_f2v_eta"] = jnp.where(t2, t_eta, state.trk_f2v_eta)
+        updates["trk_f2v_lam"] = jnp.where(_exp(t_gate, 3), t_lam, state.trk_f2v_lam)
+        updates["trk_record"] = jnp.where(_exp(t_gate, 1), new_record, state.trk_record)
+        updates["trk_timeout"] = jnp.where(
+            _exp(t_gate, 1), new_timeout, state.trk_timeout
+        )
+        updates["trk_last_pos"] = jnp.where(
+            measured[..., None], last_pos, state.trk_last_pos
+        )
+        updates["trk_last_val"] = jnp.where(measured, last_val, state.trk_last_val)
+
+    updates["iter_count_factor"] = state.iter_count_factor + gate.astype(jnp.int32)
+    return replace(state, **updates)
+
+
+def internal_variable_pass(state: SimState, params: GbpParams) -> SimState:
+    """Belief update + responses to internal factors (factorgraph.rs:762-790)."""
+    R, V = state.prior_mean.shape[:2]
+    gate = state.active & _not_idle(state)
+    g1, g2, g3 = _exp(gate, 1), _exp(gate, 2), _exp(gate, 3)
+
+    eta, lam = VU.sum_messages(
+        prior_mean=state.prior_mean,
+        prior_sigma=state.prior_sigma,
+        dyn_f2v_eta=state.dyn_f2v_eta,
+        dyn_f2v_lam=state.dyn_f2v_lam,
+        obs_f2v_eta=state.obs_f2v_eta,
+        obs_f2v_lam=state.obs_f2v_lam,
+        trk_f2v_eta=state.trk_f2v_eta,
+        trk_f2v_lam=state.trk_f2v_lam,
+        ext_inbox_eta=state.ext_inbox_eta,
+        ext_inbox_lam=state.ext_inbox_lam,
+    )
+    upd = VU.update_beliefs(eta, lam, state.belief_mean)
+
+    belief_eta = jnp.where(g2, upd.eta, state.belief_eta)
+    belief_lam = jnp.where(g3, upd.lam, state.belief_lam)
+    belief_mean = jnp.where(g2, upd.mean, state.belief_mean)
+
+    # responses = belief - incoming message per edge; mu = belief mean
+    updates: dict = {
+        "belief_eta": belief_eta,
+        "belief_lam": belief_lam,
+        "belief_mean": belief_mean,
+    }
+
+    if params.dynamic_enabled:
+        # dyn edge e: slot 0 <- var e, slot 1 <- var e+1
+        v_eta = jnp.stack([belief_eta[:, :-1], belief_eta[:, 1:]], axis=2)
+        v_lam = jnp.stack([belief_lam[:, :-1], belief_lam[:, 1:]], axis=2)
+        v_mu = jnp.stack([belief_mean[:, :-1], belief_mean[:, 1:]], axis=2)
+        updates["dyn_v2f_eta"] = jnp.where(
+            g3, v_eta - state.dyn_f2v_eta, state.dyn_v2f_eta
+        )
+        updates["dyn_v2f_lam"] = jnp.where(
+            _exp(gate, 4), v_lam - state.dyn_f2v_lam, state.dyn_v2f_lam
+        )
+        updates["dyn_v2f_mu"] = jnp.where(g3, v_mu, state.dyn_v2f_mu)
+
+    if V > 2:
+        if params.obstacle_enabled:
+            updates["obs_v2f_mu"] = jnp.where(
+                g2, belief_mean[:, 1 : V - 1], state.obs_v2f_mu
+            )
+        if params.tracking_enabled:
+            updates["trk_v2f_mu"] = jnp.where(
+                g2, belief_mean[:, 1 : V - 1], state.trk_v2f_mu
+            )
+
+    # snapshot for own inter-robot factors (response to an always-empty inbox
+    # entry is the full belief)
+    updates["snap_eta"] = jnp.where(g2, belief_eta, state.snap_eta)
+    updates["snap_lam"] = jnp.where(g3, belief_lam, state.snap_lam)
+    updates["snap_mu"] = jnp.where(g2, belief_mean, state.snap_mu)
+    if params.interrobot_enabled:
+        updates["ir_int_seeded"] = jnp.where(
+            g1[..., None] & state.nbr_mask[..., None], True, state.ir_int_seeded
+        )
+
+    return replace(state, **updates)
+
+
+def external_factor_pass(state: SimState, params: GbpParams) -> SimState:
+    """Inter-robot factor update + message delivery (factorgraph.rs:719-760,
+    routing robot.rs:1803-1831)."""
+    if not params.interrobot_enabled:
+        return state
+
+    R, K = state.nbr_idx.shape
+    V = state.prior_mean.shape[1]
+    V1 = V - 1
+    f = state.prior_mean.dtype
+
+    send_gate = state.active & state.antenna & _not_idle(state)  # [R]
+
+    # linearisation inputs
+    seeded = state.ir_int_seeded  # [R, K, V-1]
+    own_mu = state.snap_mu[:, None, 1:, :]  # [R, 1, V-1, 4]
+    own_eta = state.snap_eta[:, None, 1:, :]
+    own_lam = state.snap_lam[:, None, 1:, :, :]
+    s3 = seeded[..., None]
+    x_int = jnp.where(s3, own_mu, 0.0)
+    v2f_int_eta = jnp.where(s3, own_eta, 0.0)
+    v2f_int_lam = jnp.where(s3[..., None], own_lam, 0.0)
+
+    safety = (params.safety_distance_multiplier * state.radius)[:, None, None]
+    safety = jnp.broadcast_to(safety, (R, K, V1))
+    # Per-factor tiny offset (interrobot.rs:75,91-106). The reference derives
+    # it from a global factor-creation counter; besides guarding div/0 the
+    # *distinctness* of the offsets breaks symmetric head-on deadlocks, so we
+    # keep per-factor-distinct values — but slot-deterministic instead of
+    # creation-order-dependent, so results are reproducible across shardings.
+    tiny = jnp.asarray(1e-6, f) * (
+        jnp.arange(R, dtype=f)[:, None, None] * (K * V1)
+        + jnp.arange(K, dtype=f)[None, :, None] * V1
+        + jnp.arange(V1, dtype=f)[None, None, :]
+        + 1.0
+    )
+
+    _, _, ext_eta, ext_lam, _ = F.interrobot_factor_messages(
+        x_int,
+        state.ir_v2f_ext_mu,
+        v2f_int_eta,
+        v2f_int_lam,
+        state.ir_v2f_ext_eta,
+        state.ir_v2f_ext_lam,
+        safety,
+        tiny,
+        params.sigma_factor_interrobot,
+        dtype=f,
+    )
+
+    produced = _exp(send_gate, 2) & state.nbr_mask[..., None]  # [R, K, V-1]
+    ir_f2v_ext_eta = jnp.where(produced[..., None], ext_eta, state.ir_f2v_ext_eta)
+    ir_f2v_ext_lam = jnp.where(
+        produced[..., None, None], ext_lam, state.ir_f2v_ext_lam
+    )
+
+    # delivery: r's variable inbox slot (r, k, i) receives from the factor
+    # owned by j = nbr_idx[r,k] at its reciprocal slot. Gated on the sender
+    # having produced this pass and the receiver's antenna/mission.
+    back, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask)
+    recv_gate = state.active & state.antenna & _not_idle(state)
+    src = jnp.clip(state.nbr_idx, 0, R - 1)
+    deliver = (
+        _exp(recv_gate, 1) & state.nbr_mask & send_gate[src] & has_back
+    )[..., None]  # [R, K, 1] broadcast over V-1
+
+    in_eta = _gather_from_peer(ir_f2v_ext_eta, state.nbr_idx, back, state.nbr_mask)
+    in_lam = _gather_from_peer(ir_f2v_ext_lam, state.nbr_idx, back, state.nbr_mask)
+
+    ext_inbox_eta = jnp.where(deliver[..., None], in_eta, state.ext_inbox_eta)
+    ext_inbox_lam = jnp.where(deliver[..., None, None], in_lam, state.ext_inbox_lam)
+
+    iter_count = state.iter_count_factor + send_gate.astype(jnp.int32)
+
+    return replace(
+        state,
+            ir_f2v_ext_eta=ir_f2v_ext_eta,
+            ir_f2v_ext_lam=ir_f2v_ext_lam,
+            ext_inbox_eta=ext_inbox_eta,
+            ext_inbox_lam=ext_inbox_lam,
+            iter_count_factor=iter_count,
+    )
+
+
+def external_variable_pass(state: SimState, params: GbpParams) -> SimState:
+    """Belief update + responses to external factors (factorgraph.rs:794-826,
+    routing robot.rs:1843-1858)."""
+    if not params.interrobot_enabled:
+        return state
+
+    R, K = state.nbr_idx.shape
+    V = state.prior_mean.shape[1]
+    gate = state.active & state.antenna & _not_idle(state)
+    g2, g3 = _exp(gate, 2), _exp(gate, 3)
+
+    eta, lam = VU.sum_messages(
+        prior_mean=state.prior_mean,
+        prior_sigma=state.prior_sigma,
+        dyn_f2v_eta=state.dyn_f2v_eta,
+        dyn_f2v_lam=state.dyn_f2v_lam,
+        obs_f2v_eta=state.obs_f2v_eta,
+        obs_f2v_lam=state.obs_f2v_lam,
+        trk_f2v_eta=state.trk_f2v_eta,
+        trk_f2v_lam=state.trk_f2v_lam,
+        ext_inbox_eta=state.ext_inbox_eta,
+        ext_inbox_lam=state.ext_inbox_lam,
+    )
+    upd = VU.update_beliefs(eta, lam, state.belief_mean)
+
+    belief_eta = jnp.where(g2, upd.eta, state.belief_eta)
+    belief_lam = jnp.where(g3, upd.lam, state.belief_lam)
+    belief_mean = jnp.where(g2, upd.mean, state.belief_mean)
+
+    # responses of r's variables 1..V-1 to each external factor edge
+    resp_eta = belief_eta[:, None, 1:, :] - state.ext_inbox_eta  # [R, K, V-1, 4]
+    resp_lam = belief_lam[:, None, 1:, :, :] - state.ext_inbox_lam
+    resp_mu = jnp.broadcast_to(
+        belief_mean[:, None, 1:, :], state.ext_inbox_eta.shape
+    )
+
+    # deliver into the owning factor's inbox: factor (r, k) receives the
+    # response computed by j = nbr_idx[r,k] at its reciprocal slot.
+    back, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask)
+    src = jnp.clip(state.nbr_idx, 0, R - 1)
+    deliver = (
+        _exp(gate, 1)        # receiver (factor owner) gate
+        & state.nbr_mask
+        & gate[src]          # sender produced this pass
+        & has_back
+    )[..., None]
+
+    in_eta = _gather_from_peer(resp_eta, state.nbr_idx, back, state.nbr_mask)
+    in_lam = _gather_from_peer(resp_lam, state.nbr_idx, back, state.nbr_mask)
+    in_mu = _gather_from_peer(resp_mu, state.nbr_idx, back, state.nbr_mask)
+
+    ir_v2f_ext_eta = jnp.where(deliver[..., None], in_eta, state.ir_v2f_ext_eta)
+    ir_v2f_ext_lam = jnp.where(
+        deliver[..., None, None], in_lam, state.ir_v2f_ext_lam
+    )
+    ir_v2f_ext_mu = jnp.where(deliver[..., None], in_mu, state.ir_v2f_ext_mu)
+
+    return replace(
+        state,
+            belief_eta=belief_eta,
+            belief_lam=belief_lam,
+            belief_mean=belief_mean,
+            ir_v2f_ext_eta=ir_v2f_ext_eta,
+            ir_v2f_ext_lam=ir_v2f_ext_lam,
+            ir_v2f_ext_mu=ir_v2f_ext_mu,
+    )
+
+
+def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
+    """`iterate_gbp_v2` (robot.rs:1769-1861): run the iteration schedule.
+
+    The schedule is compiled as a `lax.scan` over its (internal, external)
+    flags so the slot body is traced once regardless of schedule length
+    (Circle Experiment runs 50 slots per tick).
+    """
+    if not params.schedule:
+        return state
+    sched = jnp.asarray(params.schedule, dtype=bool)  # [S, 2]
+
+    def internal(st: SimState) -> SimState:
+        st = internal_factor_pass(st, sdf, params)
+        return internal_variable_pass(st, params)
+
+    def external(st: SimState) -> SimState:
+        st = external_factor_pass(st, params)
+        return external_variable_pass(st, params)
+
+    def body(st: SimState, flags):
+        st = jax.lax.cond(flags[0], internal, lambda s: s, st)
+        st = jax.lax.cond(flags[1], external, lambda s: s, st)
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, sched)
+    return state
+
+
+# --------------------------------------------------------------------------
+# collisions
+# --------------------------------------------------------------------------
+
+def update_collisions(state: SimState, params: GbpParams) -> SimState:
+    """Robot-robot bounding-sphere collision events with hysteresis
+    (collisions.rs:72-140,146-227)."""
+    R = state.pos.shape[0]
+    diff = state.pos[:, None, :] - state.pos[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    rsum = state.radius[:, None] + state.radius[None, :]
+    act = state.active
+    upper = jnp.triu(jnp.ones((R, R), dtype=bool), k=1)
+    overlap = (d2 < rsum * rsum) & upper & act[:, None] & act[None, :]
+    new_events = jnp.sum(overlap & ~state.rr_overlap)
+    return replace(
+        state,
+            rr_overlap=overlap,
+            rr_collisions=state.rr_collisions + new_events.astype(jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------------
+# the full tick
+# --------------------------------------------------------------------------
+
+def step(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
+    """One FixedUpdate tick (robot.rs:86-108 system chain).
+
+    Matmul precision is pinned to `highest`: on TPU the default lowers f32
+    matmul inputs to bf16, whose ~8-bit mantissa breaks the information-form
+    belief algebra (the covariance residual check rejects every inversion and
+    beliefs never move). All matmuls here are tiny 4x4/4x8 contractions on
+    the VPU — full f32 costs nothing.
+    """
+    with jax.default_matmul_precision("highest"):
+        state = activate_due_spawns(state)
+        state = check_waypoints(state, params)
+        state = update_connectivity(state, params)
+        state = update_failed_comms(state, params)
+        state = update_prior_horizon(state, params)
+        state = update_prior_current(state, params)
+        state = iterate_gbp(state, sdf, params)
+        state = update_collisions(state, params)
+    return replace(state, tick=state.tick + 1)
+
+
+def run_ticks(state: SimState, sdf: jax.Array, params: GbpParams, n: int) -> SimState:
+    """Run `n` ticks device-resident (no host sync between ticks)."""
+    def body(st, _):
+        return step(st, sdf, params), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n)
+    return state

@@ -1,0 +1,147 @@
+"""Parity tests: dense batched tick vs the per-robot numpy oracle.
+
+The oracle (tests/oracle.py) transcribes the reference algorithm structure
+(inboxes, skip semantics, update equations, iteration schedule, priors). Exact
+lockstep is only expected while the system is numerically well-conditioned:
+during start-up, mid-chain variables have ~zero precision and their belief
+means contain noise-ratio components (the reference computes the same kind of
+garbage there — see magics_tpu/core/linalg.py) which chaotic inter-robot
+interactions can amplify. Tests therefore assert:
+
+  * tight lockstep for well-conditioned phases,
+  * bounded divergence + identical qualitative outcomes (goals reached, no
+    collisions, same waypoint progression) elsewhere.
+"""
+
+import numpy as np
+import jax
+
+from magics_tpu.graph import tick as T
+from tests.compare_util import build_pair, compare_tick
+
+
+def run_both(params, state, sdf, oracle, n_ticks):
+    step = jax.jit(T.step, static_argnums=2)
+    diffs, pos_diffs = [], []
+    for _ in range(n_ticks):
+        state = step(state, sdf, params)
+        oracle.step()
+        diffs.append(compare_tick(state, oracle))
+        active = np.asarray(state.active)
+        if active.any():
+            pd = np.max(
+                np.abs(np.asarray(state.pos)[active] - oracle.pos[active])
+            )
+            pos_diffs.append(pd)
+    return state, diffs, pos_diffs
+
+
+def test_single_robot_no_obstacle_lockstep():
+    """Pure dynamics+tracking chain: tight lockstep over a full mission."""
+    speed = 10.0
+    starts = np.array([[-40.0, 0.0, speed, 0.0]])
+    wps = [np.array([starts[0], [40.0, 0.0, speed, 0.0]])]
+    params, state, sdf, oracle = build_pair(
+        starts=starts, waypoint_lists=wps, radii=[2.0], speed=speed, horizon_s=3.0
+    )
+    state, diffs, pos_diffs = run_both(params, state, sdf, oracle, 90)
+    assert oracle.completed == [True]
+    assert bool(np.asarray(state.completed).all())
+    # positions agree through the whole run
+    assert max(pos_diffs) < 2e-2, max(pos_diffs)
+
+
+def test_single_robot_with_obstacle():
+    """SDF obstacle deflects the robot identically in both implementations."""
+    speed = 10.0
+    starts = np.array([[-40.0, 0.0, speed, 0.0]])
+    wps = [np.array([starts[0], [40.0, 0.0, speed, 0.0]])]
+    sdf_np = np.ones((64, 64))
+    yy, xx = np.mgrid[0:64, 0:64]
+    sdf_np[(yy - 28) ** 2 + (xx - 36) ** 2 < 36] = 0.2
+    params, state, sdf, oracle = build_pair(
+        starts=starts,
+        waypoint_lists=wps,
+        radii=[2.0],
+        speed=speed,
+        horizon_s=3.0,
+        sdf_np=sdf_np,
+    )
+    state, diffs, pos_diffs = run_both(params, state, sdf, oracle, 90)
+    assert oracle.completed == [True]
+    assert bool(np.asarray(state.completed).all())
+    # both deflect around the obstacle; SDF pixel-boundary truncation makes
+    # bit-lockstep impossible, but trajectories must stay together
+    assert max(pos_diffs) < 0.2, max(pos_diffs)
+    # the obstacle actually deflected the path (qualitative check)
+    assert abs(oracle.pos[0, 1]) > 0.3
+
+
+def test_two_robots_offset_pass():
+    """Two robots on offset lanes pass each other; inter-robot factors engage
+    and both implementations complete without collisions."""
+    speed = 10.0
+    starts = np.array([[-40.0, 2.0, speed, 0.0], [40.0, -2.0, -speed, 0.0]])
+    wps = [
+        np.array([starts[0], [40.0, 2.0, speed, 0.0]]),
+        np.array([starts[1], [-40.0, -2.0, -speed, 0.0]]),
+    ]
+    params, state, sdf, oracle = build_pair(
+        starts=starts,
+        waypoint_lists=wps,
+        radii=[2.0, 2.0],
+        speed=speed,
+        comms_radius=50.0,
+        horizon_s=3.0,
+    )
+    step = jax.jit(T.step, static_argnums=2)
+    saw_connection = False
+    min_dist_dense = np.inf
+    min_dist_oracle = np.inf
+    for _ in range(90):
+        state = step(state, sdf, params)
+        oracle.step()
+        saw_connection |= bool(np.asarray(state.nbr_mask).any())
+        if np.asarray(state.active).all():
+            min_dist_dense = min(
+                min_dist_dense,
+                float(np.linalg.norm(np.asarray(state.pos)[0] - np.asarray(state.pos)[1])),
+            )
+        if all(oracle.active):
+            min_dist_oracle = min(
+                min_dist_oracle, float(np.linalg.norm(oracle.pos[0] - oracle.pos[1]))
+            )
+
+    assert saw_connection
+    assert oracle.completed == [True, True]
+    assert bool(np.asarray(state.completed).all())
+    # neither implementation let the robots collide (radius sum = 4.0)
+    assert min_dist_dense > 4.0, min_dist_dense
+    assert min_dist_oracle > 4.0, min_dist_oracle
+    assert int(np.asarray(state.rr_collisions)) == 0
+    # final positions agree to decimeters (transient noise, see module doc)
+    d = np.max(np.abs(np.asarray(state.pos) - oracle.pos))
+    assert d < 0.5, d
+
+
+def test_ten_ticks_strict_lockstep_with_interrobot():
+    """Before tracking activates and while beliefs are conditioned, the two
+    implementations track each other to ~1e-9 even with inter-robot factors
+    engaged from tick 0."""
+    speed = 15.0
+    starts = np.array([[-25.0, 0.0, speed, 0.0], [25.0, 0.0, -speed, 0.0]])
+    wps = [
+        np.array([starts[0], [25.0, 0.0, speed, 0.0]]),
+        np.array([starts[1], [-25.0, 0.0, -speed, 0.0]]),
+    ]
+    params, state, sdf, oracle = build_pair(
+        starts=starts,
+        waypoint_lists=wps,
+        radii=[2.0, 2.0],
+        speed=speed,
+        comms_radius=60.0,
+        horizon_s=5.0,
+        factors=("dynamic", "interrobot"),
+    )
+    state, diffs, _ = run_both(params, state, sdf, oracle, 10)
+    assert max(diffs) < 1e-6, max(diffs)

@@ -1,0 +1,93 @@
+"""Headless CLI — parity with the reference binary's experiment surface
+(crates/magics/src/cli.rs:28-104):
+
+    python -m magics_tpu.cli -i <scenario-name-or-path> [--scenarios-dir DIR]
+    python -m magics_tpu.cli --list-scenarios [--scenarios-dir DIR]
+
+plus headless-specific knobs (--seed, --max-time, --export, --dtype).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="magics-tpu", description=__doc__)
+    p.add_argument("-i", "--initial-scenario", help="scenario name or directory path")
+    p.add_argument("-l", "--list-scenarios", action="store_true")
+    p.add_argument(
+        "--scenarios-dir",
+        default="./config/scenarios",
+        help="directory containing scenario folders (config.toml + *.yaml)",
+    )
+    p.add_argument("--seed", type=int, default=None, help="override prng-seed")
+    p.add_argument("--max-time", type=float, default=None, help="override max sim time (s)")
+    p.add_argument("--export", metavar="PATH", help="write JSON export here")
+    p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    from magics_tpu.config.loader import list_scenarios, load_scenario
+
+    if args.list_scenarios:
+        for name in list_scenarios(args.scenarios_dir):
+            print(name)
+        return 0
+
+    if not args.initial_scenario:
+        p.error("provide -i/--initial-scenario or --list-scenarios")
+
+    path = Path(args.initial_scenario)
+    if not path.is_dir():
+        path = Path(args.scenarios_dir) / args.initial_scenario
+    if not path.is_dir():
+        print(f"error: scenario not found: {args.initial_scenario}", file=sys.stderr)
+        return 2
+
+    import jax.numpy as jnp
+
+    from magics_tpu.sim.simulator import Simulator
+
+    scenario = load_scenario(path)
+    sim = Simulator(
+        scenario,
+        seed=args.seed,
+        dtype=jnp.float64 if args.dtype == "f64" else jnp.float32,
+        max_sim_time=args.max_time,
+    )
+    if not args.quiet:
+        print(
+            f"scenario '{scenario.name}': {len(sim.specs)} robots, "
+            f"V={sim.params.n_vars}, schedule "
+            f"{scenario.config.gbp.iteration_schedule.internal}i+"
+            f"{scenario.config.gbp.iteration_schedule.external}e @ {sim.hz} Hz",
+            file=sys.stderr,
+        )
+
+    t0 = time.perf_counter()
+
+    def progress(tick, n_done):
+        if not args.quiet:
+            print(
+                f"  t={tick / sim.hz:7.1f}s  completed {n_done}/{len(sim.specs)}",
+                file=sys.stderr,
+            )
+
+    summary = sim.run(progress=progress)
+    summary["wall_s"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(summary))
+
+    if args.export:
+        sim.export(args.export)
+        if not args.quiet:
+            print(f"exported to {args.export}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,6 +85,11 @@ class GbpParams:
     # schedule — static tuple of (internal, external) booleans per micro-iter
     schedule: tuple[tuple[bool, bool], ...] = ()
 
+    # position-log cadence: sample pos every `log_every` ticks into the
+    # on-device ring buffer (0 = disabled)
+    log_every: int = 0
+    log_capacity: int = 0
+
     # [robot]
     target_speed: float = 4.0
     planning_horizon_seconds: float = 5.0
@@ -192,11 +197,17 @@ class SimState:
     # --- bookkeeping -------------------------------------------------------
     tick: jax.Array          # [] i32 — FixedUpdate counter
     rng: jax.Array           # jax PRNG key
+    # device-resident position log (the PositionTracker ring buffer,
+    # tracking.rs:48-110, kept on device so host sync is once per run):
+    pos_log: jax.Array       # [L, R, 2] f32; NaN where robot inactive
+    log_head: jax.Array      # [] i32 — total samples written (ring index)
     # message counters [R, 4]: internal/external x sent/received
     msg_counts: jax.Array
-    # collision counters
-    rr_collisions: jax.Array   # [] i32 — robot-robot collision events
+    # collision counters (hysteresis-counted events, collisions.rs:146-227)
+    rr_collisions: jax.Array   # [] i32 — robot-robot collision events (pairs)
     re_collisions: jax.Array   # [] i32 — robot-environment collision events
+    rr_count: jax.Array        # [R] i32 — per-robot robot-robot events
+    re_count: jax.Array        # [R] i32 — per-robot environment events
     rr_overlap: jax.Array      # [R, R] bool — current overlap (hysteresis)
     re_overlap: jax.Array      # [R] bool
 
@@ -324,9 +335,13 @@ def init_state(
         ext_inbox_lam=zeros(R, K, Vm1, DOFS, DOFS),
         tick=jnp.asarray(0, dtype=jnp.int32),
         rng=jax.random.PRNGKey(seed),
+        pos_log=jnp.full((params.log_capacity, R, 2), jnp.nan, dtype=jnp.float32),
+        log_head=jnp.asarray(0, dtype=jnp.int32),
         msg_counts=izeros(R, 4),
         rr_collisions=jnp.asarray(0, dtype=jnp.int32),
         re_collisions=jnp.asarray(0, dtype=jnp.int32),
+        rr_count=izeros(R),
+        re_count=izeros(R),
         rr_overlap=jnp.zeros((R, R), dtype=bool),
         re_overlap=jnp.zeros((R,), dtype=bool),
     )

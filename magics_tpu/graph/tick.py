@@ -803,29 +803,61 @@ def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
 # collisions
 # --------------------------------------------------------------------------
 
-def update_collisions(state: SimState, params: GbpParams) -> SimState:
-    """Robot-robot bounding-sphere collision events with hysteresis
-    (collisions.rs:72-140,146-227)."""
+def update_collisions(
+    state: SimState, params: GbpParams, env_dist: jax.Array | None = None
+) -> SimState:
+    """Robot-robot (bounding spheres) and robot-environment collision events
+    with hysteresis (collisions.rs:72-140,146-227). `env_dist` is the
+    euclidean distance field (meters to nearest obstacle pixel)."""
     R = state.pos.shape[0]
     diff = state.pos[:, None, :] - state.pos[None, :, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     rsum = state.radius[:, None] + state.radius[None, :]
     act = state.active
     upper = jnp.triu(jnp.ones((R, R), dtype=bool), k=1)
-    overlap = (d2 < rsum * rsum) & upper & act[:, None] & act[None, :]
-    new_events = jnp.sum(overlap & ~state.rr_overlap)
-    return replace(
-        state,
-            rr_overlap=overlap,
-            rr_collisions=state.rr_collisions + new_events.astype(jnp.int32),
+    pair_overlap = (d2 < rsum * rsum) & upper & act[:, None] & act[None, :]
+    new_pair = pair_overlap & ~state.rr_overlap
+    new_events = jnp.sum(new_pair)
+    rr_count = (
+        state.rr_count
+        + jnp.sum(new_pair, axis=1).astype(jnp.int32)
+        + jnp.sum(new_pair, axis=0).astype(jnp.int32)
     )
+
+    updates = dict(
+        rr_overlap=pair_overlap,
+        rr_collisions=state.rr_collisions + new_events.astype(jnp.int32),
+        rr_count=rr_count,
+    )
+
+    if env_dist is not None:
+        H, W = env_dist.shape
+        ww, wh = params.world_width, params.world_height
+        xf = (state.pos[:, 0] + ww / 2.0) * (W / ww)
+        yf = (-state.pos[:, 1] + wh / 2.0) * (H / wh)
+        xi = jnp.clip(xf, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(yf, 0, H - 1).astype(jnp.int32)
+        re_overlap = act & (env_dist[yi, xi] < state.radius)
+        new_re = re_overlap & ~state.re_overlap
+        updates.update(
+            re_overlap=re_overlap,
+            re_collisions=state.re_collisions + jnp.sum(new_re).astype(jnp.int32),
+            re_count=state.re_count + new_re.astype(jnp.int32),
+        )
+
+    return replace(state, **updates)
 
 
 # --------------------------------------------------------------------------
 # the full tick
 # --------------------------------------------------------------------------
 
-def step(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
+def step(
+    state: SimState,
+    sdf: jax.Array,
+    params: GbpParams,
+    env_dist: jax.Array | None = None,
+) -> SimState:
     """One FixedUpdate tick (robot.rs:86-108 system chain).
 
     Matmul precision is pinned to `highest`: on TPU the default lowers f32
@@ -842,14 +874,39 @@ def step(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
         state = update_prior_horizon(state, params)
         state = update_prior_current(state, params)
         state = iterate_gbp(state, sdf, params)
-        state = update_collisions(state, params)
+        state = update_collisions(state, params, env_dist)
+        state = log_positions(state, params)
     return replace(state, tick=state.tick + 1)
 
 
-def run_ticks(state: SimState, sdf: jax.Array, params: GbpParams, n: int) -> SimState:
+def log_positions(state: SimState, params: GbpParams) -> SimState:
+    """Sample positions into the on-device ring buffer (tracking.rs:48-110)."""
+    if params.log_every <= 0 or params.log_capacity <= 0:
+        return state
+    L = params.log_capacity
+    do_log = (state.tick % params.log_every) == 0
+    idx = jnp.where(do_log, state.log_head % L, 0)
+    sample = jnp.where(
+        state.active[:, None], state.pos, jnp.nan
+    ).astype(jnp.float32)
+    row = jnp.where(do_log, sample, state.pos_log[idx])
+    return replace(
+        state,
+        pos_log=state.pos_log.at[idx].set(row),
+        log_head=state.log_head + do_log.astype(jnp.int32),
+    )
+
+
+def run_ticks(
+    state: SimState,
+    sdf: jax.Array,
+    params: GbpParams,
+    n: int,
+    env_dist: jax.Array | None = None,
+) -> SimState:
     """Run `n` ticks device-resident (no host sync between ticks)."""
     def body(st, _):
-        return step(st, sdf, params), None
+        return step(st, sdf, params, env_dist), None
 
     state, _ = jax.lax.scan(body, state, None, length=n)
     return state

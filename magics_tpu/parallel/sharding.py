@@ -1,0 +1,46 @@
+"""Shard the swarm over a device mesh.
+
+The reference "distributes" robots over Bevy's CPU thread pool within one
+process (robot.rs:1789-1800). Here the robot axis of every `[R, ...]` array is
+sharded over a 1-D `jax.sharding.Mesh` axis ("r"); the inter-robot message
+gathers in the tick (`arr[nbr_idx, back]`) become XLA collectives
+(all-to-all / collective-permute over ICI) inserted by GSPMD under jit. The
+`[R, R]` neighbour-discovery and collision matrices shard by rows so each
+device scans all positions (replicated [R,2] gather) against its own robots.
+
+This is the annotate-and-let-XLA-partition design: pick a mesh, place the
+state, jit the same `tick.step` — no communication code is duplicated.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from magics_tpu.graph.state import SimState
+
+
+def make_robot_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.array(devices), ("r",))
+
+
+def shard_state(state: SimState, mesh: Mesh) -> SimState:
+    """Place every robot-major array with its leading axis on mesh axis "r";
+    scalars and the PRNG key replicate."""
+    n_robots = state.active.shape[0]
+    shard_r = NamedSharding(mesh, P("r"))
+    replicated = NamedSharding(mesh, P())
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_robots:
+            return jax.device_put(x, shard_r)
+        return jax.device_put(x, replicated)
+
+    return jax.tree_util.tree_map(place, state)
+
+
+def replicate(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))

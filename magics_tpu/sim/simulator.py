@@ -1,0 +1,296 @@
+"""Headless scenario runner.
+
+Plays the role of the reference's Bevy app shell for experiments: loads a
+scenario (config + environment + formations), pre-plans all robot spawns from
+the formation timers (spawner.rs:223-323: first spawn after `delay`, then one
+per `every`, `times` total), runs the dense tick on device in chunks, samples
+positions/velocities at the tracker cadence (tracking.rs:48-110: every 100 ms),
+and exports the reference's JSON schema (export.rs:250-350) so the shipped
+analysis scripts (ldj.py, distance-travelled.py) work unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magics_tpu.config.loader import Scenario
+from magics_tpu.env.sdf import distance_transform, env_to_image, env_to_sdf
+from magics_tpu.graph import tick as T
+from magics_tpu.sim.builder import RobotSpec, build_scenario
+
+
+@dataclasses.dataclass
+class RobotLog:
+    spawn_tick: int
+    radius: float
+    waypoints: np.ndarray          # [W, 4]
+    positions: list                # [(t, x, y)]
+    started_at: float = 0.0
+    finished_at: float | None = None
+    planning_strategy: str = "only-local"
+
+
+class Simulator:
+    def __init__(
+        self,
+        scenario: Scenario,
+        *,
+        seed: int | None = None,
+        dtype=jnp.float32,
+        n_slots: int = 16,
+        max_sim_time: float | None = None,
+    ):
+        self.scenario = scenario
+        cfg = scenario.config
+        self.cfg = cfg
+        self.hz = cfg.simulation.hz
+        self.dt = 1.0 / self.hz
+        self.max_sim_time = max_sim_time or cfg.simulation.max_time
+        seed = cfg.simulation.prng_seed if seed is None else seed
+        self.seed = seed
+        rng = np.random.default_rng(seed)
+
+        env = scenario.environment
+        world = env.world_size
+        sdf_np = env_to_sdf(env)
+        obstacle_img = env_to_image(env) == 0
+        mpp = world[0] / obstacle_img.shape[1]
+        self.env_dist_np = distance_transform(obstacle_img, mpp)
+
+        # ---- pre-plan spawns from formation timers ----
+        specs: list[RobotSpec] = []
+        self._spawn_groups: list[tuple[int, int]] = []  # (start_idx, count)
+        max_ticks = int(self.max_sim_time * self.hz)
+        speed = cfg.robot.target_speed
+        for f in scenario.formations.formations:
+            times = f.repeat_times if f.repeat_every_s else 1
+            if times is None:  # infinite — bounded by max sim time
+                times = max(1, int((self.max_sim_time - f.delay_s) // max(f.repeat_every_s, 1e-6)) + 1)
+            for k in range(times):
+                t_spawn = f.delay_s + k * (f.repeat_every_s or 0.0)
+                tick = int(math.ceil(t_spawn * self.hz))
+                if tick > max_ticks:
+                    break
+                radii = rng.uniform(cfg.robot.radius.min, cfg.robot.radius.max, f.robots)
+                placed = f.as_positions(world, radii, rng)
+                if placed is None:
+                    continue
+                initial, wp_lists = placed
+                start_idx = len(specs)
+                for i in range(f.robots):
+                    wps_i = [w[i] for w in wp_lists]
+                    # velocities (spawner.rs:470-500): each pose points at the
+                    # next waypoint at target speed; last copies second-last
+                    chain = [initial[i]] + wps_i
+                    poses = []
+                    for a, b in zip(chain, chain[1:] + [chain[-1]]):
+                        d = np.asarray(b) - np.asarray(a)
+                        n = np.linalg.norm(d)
+                        v = d / n * speed if n > 0 else np.zeros(2)
+                        poses.append(np.concatenate([a, v]))
+                    if len(poses) >= 2:
+                        poses[-1][2:] = poses[-2][2:]
+                    wp_check = f.waypoint_reached
+                    fin_check = f.finished
+                    specs.append(
+                        RobotSpec(
+                            start=poses[0],
+                            waypoints=np.stack(poses),
+                            radius=float(radii[i]),
+                            spawn_tick=tick,
+                            wp_check_var=_check_var(wp_check),
+                            fin_check_var=_check_var(fin_check),
+                            wp_check_dist=wp_check.distance,
+                            fin_check_dist=fin_check.distance,
+                        )
+                    )
+                self._spawn_groups.append((start_idx, f.robots))
+
+        if not specs:
+            raise ValueError("scenario spawns no robots")
+
+        self.specs = specs
+        sched = cfg.gbp.iteration_schedule
+        self.params, self.state, self.sdf = build_scenario(
+            specs,
+            target_speed=speed,
+            planning_horizon=cfg.robot.planning_horizon,
+            hz=self.hz,
+            comms_radius=cfg.robot.communication.radius,
+            comms_failure_rate=cfg.robot.communication.failure_rate,
+            internal=sched.internal,
+            external=sched.external,
+            schedule=sched.schedule,
+            lookahead_multiple=cfg.gbp.lookahead_multiple,
+            n_slots=n_slots,
+            sdf=sdf_np,
+            world=world,
+            dtype=dtype,
+            seed=seed,
+            sigma_factor_dynamics=cfg.gbp.sigma_factor_dynamics,
+            sigma_factor_interrobot=cfg.gbp.sigma_factor_interrobot,
+            sigma_factor_obstacle=cfg.gbp.sigma_factor_obstacle,
+            sigma_factor_tracking=cfg.gbp.sigma_factor_tracking,
+            tracking_switch_padding=cfg.gbp.tracking.switch_padding,
+            tracking_attraction_distance=cfg.gbp.tracking.attraction_distance,
+            dynamic_enabled=cfg.gbp.factors_enabled.dynamic,
+            interrobot_enabled=cfg.gbp.factors_enabled.interrobot,
+            obstacle_enabled=cfg.gbp.factors_enabled.obstacle,
+            tracking_enabled=cfg.gbp.factors_enabled.tracking,
+            despawn_on_final_waypoint=cfg.simulation.despawn_robot_when_final_waypoint_reached,
+            safety_distance_multiplier=cfg.robot.inter_robot_safety_distance_multiplier,
+            log_every=max(1, round(0.1 * self.hz)),  # 100 ms tracker cadence
+            log_capacity=min(int(self.max_sim_time * self.hz), 10_000),
+        )
+        self.env_dist = jnp.asarray(self.env_dist_np, dtype=dtype)
+
+        self.logs = [
+            RobotLog(
+                spawn_tick=s.spawn_tick,
+                radius=s.radius,
+                waypoints=s.waypoints,
+                positions=[],
+                started_at=s.spawn_tick * self.dt,
+            )
+            for s in specs
+        ]
+        self._sample_interval_ticks = self.params.log_every
+
+    # ------------------------------------------------------------------
+
+    def run(
+        self, max_ticks: int | None = None, progress=None, chunk_ticks: int = 100
+    ) -> dict:
+        """Run until every robot finished (or max time).
+
+        Positions are sampled on-device (tick.log_positions); the host only
+        fetches a completion flag per chunk and the full log once at the end.
+        """
+        max_ticks = max_ticks or int(self.max_sim_time * self.hz)
+        runner = jax.jit(partial(T.run_ticks, n=chunk_ticks), static_argnums=2)
+
+        state = self.state
+        tick = 0
+        last_spawn = max(s.spawn_tick for s in self.specs)
+        while tick < max_ticks:
+            state = runner(state, self.sdf, self.params, env_dist=self.env_dist)
+            tick += chunk_ticks
+            n_done = int(np.asarray(jnp.sum(state.completed)))
+            if progress is not None:
+                progress(tick, n_done)
+            if tick >= last_spawn and n_done == len(self.specs):
+                break
+
+        self.state = state
+        self.final_tick = tick
+        self._harvest_log(state)
+        return {
+            "ticks": tick,
+            "makespan": tick * self.dt,
+            "completed": int(np.asarray(state.completed).sum()),
+            "robots": len(self.specs),
+            "rr_collisions": int(np.asarray(state.rr_collisions)),
+            "re_collisions": int(np.asarray(state.re_collisions)),
+        }
+
+    def _harvest_log(self, state) -> None:
+        """Unroll the on-device position ring buffer into per-robot series."""
+        head = int(np.asarray(state.log_head))
+        log = np.asarray(state.pos_log)  # [L, R, 2]
+        L = log.shape[0]
+        n = min(head, L)
+        first = head - n  # sample index of the oldest retained row
+        order = (first + np.arange(n)) % L
+        sample_dt = self.params.log_every * self.dt
+        finished_at = np.asarray(state.finished_at)
+        completed = np.asarray(state.completed)
+        for i, rl in enumerate(self.logs):
+            rl.positions = []
+            for m, row in enumerate(order):
+                x, y = log[row, i]
+                if not np.isnan(x):
+                    t = (first + m) * sample_dt
+                    rl.positions.append((t, float(x), float(y)))
+            if completed[i] and finished_at[i] >= 0:
+                rl.finished_at = float(finished_at[i])
+
+    # ------------------------------------------------------------------
+
+    def export(self, path: str | Path | None = None) -> dict:
+        """JSON export matching export.rs:250-350 so the reference's analysis
+        scripts run unchanged."""
+        state = self.state
+        rr = np.asarray(state.rr_count)
+        re = np.asarray(state.re_count)
+        msg = np.asarray(state.msg_counts)
+        robots = {}
+        for i, log in enumerate(self.logs):
+            positions = [[x, y] for (_, x, y) in log.positions]
+            velocities = []
+            for (t0, x0, y0), (t1, x1, y1) in zip(log.positions, log.positions[1:]):
+                dt = t1 - t0
+                velocities.append(
+                    {
+                        # bevy Vec3 layout: ground plane is [0] and [2]
+                        "velocity": [(x1 - x0) / dt, 0.0, (y1 - y0) / dt],
+                        "timestamp": t1,
+                        "measured_over": {"secs": int(dt), "nanos": int((dt % 1) * 1e9)},
+                    }
+                )
+            finished = log.finished_at
+            robots[str(i)] = {
+                "radius": log.radius,
+                "positions": positions,
+                "velocities": velocities,
+                "collisions": {"robots": int(rr[i]), "environment": int(re[i])},
+                "messages": {
+                    "sent": {"internal": int(msg[i, 0]), "external": int(msg[i, 1])},
+                    "received": {"internal": int(msg[i, 2]), "external": int(msg[i, 3])},
+                },
+                "mission": {
+                    "waypoints": [[float(w[0]), float(w[1])] for w in log.waypoints],
+                    "started_at": log.started_at,
+                    "finished_at": finished if finished is not None else 0.0,
+                    "duration": (finished - log.started_at)
+                    if finished is not None
+                    else self.final_tick * self.dt - log.started_at,
+                },
+                "planning_strategy": log.planning_strategy,
+                "color": "",
+            }
+
+        sched = self.cfg.gbp.iteration_schedule
+        data = {
+            "scenario": self.scenario.name,
+            "makespan": self.final_tick * self.dt,
+            "delta_t": self.dt,
+            "gbp": {"iterations": {"internal": sched.internal, "external": sched.external}},
+            "robots": robots,
+            "prng_seed": self.seed,
+            "config": self.cfg.raw,
+            "obstacles": {},
+            "collisions": {"robots": [], "environment": []},
+            "goal_areas": {},
+        }
+        if path is not None:
+            Path(path).write_text(json.dumps(data))
+        return data
+
+
+def _check_var(check) -> int:
+    iw = check.intersects_with
+    if iw == "current":
+        return 0
+    if iw == "horizon":
+        return -1
+    if isinstance(iw, tuple) and iw[0] == "variable":
+        return int(iw[1])
+    return -1

@@ -29,8 +29,23 @@ def main(argv=None) -> int:
     p.add_argument("--max-time", type=float, default=None, help="override max sim time (s)")
     p.add_argument("--export", metavar="PATH", help="write JSON export here")
     p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    p.add_argument(
+        "--platform",
+        choices=["tpu", "cpu"],
+        default=None,
+        help="force a jax backend (default: whatever jax picks)",
+    )
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
+
+    if args.platform:
+        # must happen before any jax backend touch; env vars are ignored when
+        # a sitecustomize pins platforms, the config update is not
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+        if args.dtype == "f64":
+            jax.config.update("jax_enable_x64", True)
 
     from magics_tpu.config.loader import list_scenarios, load_scenario
 

@@ -157,7 +157,24 @@ def marginalize_two_block(
     # has not yet accumulated any precision (start-up, interior priors are
     # zero) poisons its neighbours with huge garbage precision.
     scale_aa = jnp.max(jnp.abs(lam_aa), axis=(-2, -1))
-    sane = jnp.max(jnp.abs(lam_msg), axis=(-2, -1)) <= 4.0 * scale_aa + 1.0
+    lam_msg_scale = jnp.max(jnp.abs(lam_msg), axis=(-2, -1))
+    sane = lam_msg_scale <= 4.0 * scale_aa + 1.0
+
+    # Cancellation floor: with an *empty* cavity on edge b, the true marginal
+    # of a rank-deficient potential (every factor kind: the joint is
+    # J^T Lam_m J with <=4 measurement rows over 8 dofs) is exactly zero
+    # information, but the Schur subtraction leaves roundoff of order
+    # eps * ||lam_aa|| * cond — measured <= 2.1e-6 relative in float32 and
+    # 4e-15 in float64 for the dynamic-factor Q. In f64 the reference's
+    # downstream "precision not zero" check (any entry > 1e-6,
+    # variable.rs:276-284) happens to swallow this noise; in f32 it does not,
+    # interior variables turn spuriously "valid" at startup, and tracking
+    # factors then linearise at garbage means (observed as a 500 m/s velocity
+    # explosion in the Solo GP scenario). A message whose precision is below
+    # rtol of the potential's own block scale carries no information — emit
+    # it empty, exactly like the reference's singular-marginal path.
+    rtol = 1e-4 if lam_msg.dtype == jnp.float32 else 1e-12
+    negligible = lam_msg_scale <= rtol * scale_aa
     # Scale-invariant singularity test: `det` comes from the row-equilibrated
     # matrix, so it approximates the product of relative singular values. A
     # numerically rank-deficient lam_bb (e.g. a rank-1 inter-robot potential
@@ -169,7 +186,7 @@ def marginalize_two_block(
     # carry information proportional to the cavity's (negligible) precision,
     # so discarding them loses nothing. The reference reaches the same outcome via its
     # det == 0.0 check whenever its pure-Rust determinant cancels exactly.
-    valid = (jnp.abs(det) > 1e-6) & finite & sane
+    valid = (jnp.abs(det) > 1e-6) & finite & sane & ~negligible
 
     ok = valid[..., None]
     eta_msg = jnp.where(ok, eta_msg, 0.0)

@@ -32,14 +32,19 @@ def env_to_sdf(env: Environment) -> np.ndarray:
     return img.astype(np.float32) / 255.0
 
 
-def env_to_image(env: Environment) -> np.ndarray:
+def env_to_image(env: Environment, expansion: float | None = None) -> np.ndarray:
     """Binary obstacle raster (u8: 0 obstacle, 255 free), one sample per
-    pixel center (env_to_png lib.rs:166-205)."""
+    pixel center (env_to_png lib.rs:166-205).
+
+    `expansion` overrides the SDF expansion percentage; pass 0.0 to get the
+    raw collision geometry (the reference's parry2d colliders are built from
+    unexpanded shapes, environment/map_generator.rs:22-38 — expansion only
+    applies to the obstacle-factor SDF)."""
     res = env.sdf.resolution
     nrows, ncols = env.nrows, env.ncols
     H, W = nrows * res, ncols * res
     tile_size = env.tile_size
-    expansion = env.sdf.expansion
+    expansion = env.sdf.expansion if expansion is None else expansion
 
     ys, xs = np.mgrid[0:H, 0:W]
     # pixel -> tile units (pixel centers), lib.rs:208-219

@@ -33,6 +33,9 @@ class RobotSpec:
     fin_check_var: int = 0
     wp_check_dist: float | None = None   # None -> robot radius
     fin_check_dist: float | None = None
+    # "only-local" | "rrt-star" (gbp_config formation.rs:46-52); with
+    # rrt-star the waypoint list already contains the planned global path
+    planning_strategy: str = "only-local"
 
 
 def circle_formation(

@@ -60,8 +60,11 @@ class Simulator:
 
         env = scenario.environment
         world = env.world_size
+        self._world = world
+        self._planner = None
         sdf_np = env_to_sdf(env)
-        obstacle_img = env_to_image(env) == 0
+        # collision / planning geometry is unexpanded (map_generator.rs:22-38)
+        obstacle_img = env_to_image(env, expansion=0.0) == 0
         mpp = world[0] / obstacle_img.shape[1]
         self.env_dist_np = distance_transform(obstacle_img, mpp)
 
@@ -87,6 +90,22 @@ class Simulator:
                 start_idx = len(specs)
                 for i in range(f.robots):
                     wps_i = [w[i] for w in wp_lists]
+                    if f.planning_strategy == "rrt-star":
+                        # pre-planned analogue of the async RRT* mission flow
+                        # (robot.rs:562-812): plan each route segment at
+                        # build time; the path becomes the robot's waypoint
+                        # list, which also feeds the tracking factors.
+                        planner = self._global_planner()
+                        chain_pts = [np.asarray(initial[i], dtype=np.float64)] + [
+                            np.asarray(w, dtype=np.float64) for w in wps_i
+                        ]
+                        planned = [chain_pts[0]]
+                        for a, b in zip(chain_pts, chain_pts[1:]):
+                            seg = planner.plan(a, b, seed=int(rng.integers(2**62)))
+                            if seg is None:  # PathfindingError — go direct
+                                seg = np.stack([a, b])
+                            planned.extend(list(seg[1:]))
+                        wps_i = planned[1:]
                     # velocities (spawner.rs:470-500): each pose points at the
                     # next waypoint at target speed; last copies second-last
                     chain = [initial[i]] + wps_i
@@ -110,6 +129,7 @@ class Simulator:
                             fin_check_var=_check_var(fin_check),
                             wp_check_dist=wp_check.distance,
                             fin_check_dist=fin_check.distance,
+                            planning_strategy=f.planning_strategy,
                         )
                     )
                 self._spawn_groups.append((start_idx, f.robots))
@@ -159,12 +179,22 @@ class Simulator:
                 waypoints=s.waypoints,
                 positions=[],
                 started_at=s.spawn_tick * self.dt,
+                planning_strategy=s.planning_strategy,
             )
             for s in specs
         ]
         self._sample_interval_ticks = self.params.log_every
 
     # ------------------------------------------------------------------
+
+    def _global_planner(self):
+        if self._planner is None:
+            from magics_tpu.planner.global_planner import GlobalPlanner
+
+            self._planner = GlobalPlanner(
+                self.env_dist_np, self._world, self.cfg.rrt
+            )
+        return self._planner
 
     def run(
         self, max_ticks: int | None = None, progress=None, chunk_ticks: int = 100

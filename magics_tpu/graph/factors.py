@@ -105,27 +105,29 @@ def dynamic_factor_messages(
     return f2v_eta, f2v_lam
 
 
-def obstacle_factor_messages(
-    v2f_mu: jax.Array,     # [..., 4]
-    sdf: jax.Array,        # [H, W] float in [0, 1] — the "red channel / 255"
-    world_size: tuple[float, float],
-    sigma: float,
-    dtype=jnp.float32,
-) -> tuple[jax.Array, jax.Array]:
-    """Messages from all obstacle (SDF lookup) factors.
+def obstacle_delta(sdf_shape: tuple[int, int], world_size: tuple[float, float]) -> float:
+    """Finite-difference step = mean pixel size (obstacle.rs:98-102)."""
+    H, W = sdf_shape
+    ww, wh = world_size
+    return (ww / W + wh / H) / 2.0
 
-    Reference: factor/obstacle.rs:91-216. h = 1 - sdf[pixel(x, y)] with
-    nearest-pixel lookup (truncating cast, y axis flipped), 0 outside the
-    image; first-order Jacobian by finite differences with
-    delta = mean pixel size (only x and y contribute — velocity perturbations
-    cannot change the lookup, so those columns are exactly zero).
+
+def obstacle_taps(
+    v2f_mu: jax.Array,     # [..., 4]
+    sdf: jax.Array,        # [H, W] float in [0, 1]
+    world_size: tuple[float, float],
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """The three SDF samples (h0, h(+dx), h(+dy)) each obstacle factor needs.
+
+    Split out from the message math so the gather can run in XLA while the
+    arithmetic fuses into the Pallas slot kernel (kernels/gbp_slot.py).
     """
     H, W = sdf.shape
     ww, wh = world_size
-
     x_scale = W / ww
     y_scale = H / wh
-    delta = (ww / W + wh / H) / 2.0
+    delta = obstacle_delta((H, W), world_size)
 
     def measure(px, py):
         # world -> pixel (obstacle.rs:147-155). Rust's `as u32` cast truncates
@@ -142,11 +144,19 @@ def obstacle_factor_messages(
 
     px = v2f_mu[..., 0]
     py = v2f_mu[..., 1]
+    return measure(px, py), measure(px + delta, py), measure(px, py + delta)
 
-    h0 = measure(px, py)
-    hx = measure(px + delta, py)
-    hy = measure(px, py + delta)
 
+def obstacle_messages_from_taps(
+    h0: jax.Array,        # [...]
+    hx: jax.Array,
+    hy: jax.Array,
+    v2f_mu: jax.Array,    # [..., 4]
+    delta: float,
+    sigma: float,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Obstacle factor message arithmetic given the SDF taps."""
     jx = (hx - h0) / delta
     jy = (hy - h0) / delta
     J = jnp.stack([jx, jy, jnp.zeros_like(jx), jnp.zeros_like(jx)], axis=-1)  # [..., 4]
@@ -159,6 +169,26 @@ def obstacle_factor_messages(
     eta_f = J * (lam_m * (jx0 - h0))[..., None]
     lam_f = lam_m * J[..., :, None] * J[..., None, :]
     return eta_f, lam_f
+
+
+def obstacle_factor_messages(
+    v2f_mu: jax.Array,     # [..., 4]
+    sdf: jax.Array,        # [H, W] float in [0, 1] — the "red channel / 255"
+    world_size: tuple[float, float],
+    sigma: float,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Messages from all obstacle (SDF lookup) factors.
+
+    Reference: factor/obstacle.rs:91-216. h = 1 - sdf[pixel(x, y)] with
+    nearest-pixel lookup (truncating cast, y axis flipped), 0 outside the
+    image; first-order Jacobian by finite differences with
+    delta = mean pixel size (only x and y contribute — velocity perturbations
+    cannot change the lookup, so those columns are exactly zero).
+    """
+    h0, hx, hy = obstacle_taps(v2f_mu, sdf, world_size, dtype=dtype)
+    delta = obstacle_delta(sdf.shape, world_size)
+    return obstacle_messages_from_taps(h0, hx, hy, v2f_mu, delta, sigma, dtype=dtype)
 
 
 def interrobot_factor_messages(

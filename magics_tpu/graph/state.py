@@ -111,6 +111,12 @@ class GbpParams:
 
     dtype: jnp.dtype = jnp.float32
 
+    # Use the fused Pallas slot kernel (kernels/gbp_slot.py) for internal GBP
+    # slots; `pallas_interpret` runs it in interpreter mode (CPU testing).
+    use_pallas: bool = False
+    pallas_interpret: bool = False
+    pallas_r_tile: int = 128
+
     @property
     def dt(self) -> float:
         return 1.0 / self.hz

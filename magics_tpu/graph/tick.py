@@ -780,6 +780,15 @@ def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
     """
     if not params.schedule:
         return state
+
+    if params.use_pallas:
+        from magics_tpu.kernels.hot import iterate_gbp_hot
+
+        return iterate_gbp_hot(
+            state, sdf, params,
+            r_tile=params.pallas_r_tile, interpret=params.pallas_interpret,
+        )
+
     sched = jnp.asarray(params.schedule, dtype=bool)  # [S, 2]
 
     def internal(st: SimState) -> SimState:

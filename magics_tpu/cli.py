@@ -28,6 +28,24 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=None, help="override prng-seed")
     p.add_argument("--max-time", type=float, default=None, help="override max sim time (s)")
     p.add_argument("--export", metavar="PATH", help="write JSON export here")
+    p.add_argument(
+        "--record",
+        metavar="DIR",
+        help="write a PNG frame sequence of the run (main.rs:460-565 parity)",
+    )
+    p.add_argument(
+        "--snapshot",
+        metavar="PNG",
+        help="write a trajectory-overview image of the finished run",
+    )
+    p.add_argument("--checkpoint", metavar="PATH", help="write checkpoints here")
+    p.add_argument(
+        "--checkpoint-every",
+        type=float,
+        metavar="SECONDS",
+        help="periodic checkpoint interval in sim seconds",
+    )
+    p.add_argument("--resume", metavar="PATH", help="resume from a checkpoint")
     p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
     p.add_argument(
         "--platform",
@@ -93,14 +111,49 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
 
-    summary = sim.run(progress=progress)
+    if args.resume:
+        sim.resume(args.resume)
+        if not args.quiet:
+            print(f"resumed from {args.resume}", file=sys.stderr)
+
+    summary = sim.run(
+        progress=progress,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every_s=args.checkpoint_every,
+    )
     summary["wall_s"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(summary))
+
+    if args.checkpoint:
+        sim.save_checkpoint(args.checkpoint)
+        if not args.quiet:
+            print(f"checkpoint: {args.checkpoint}", file=sys.stderr)
 
     if args.export:
         sim.export(args.export)
         if not args.quiet:
             print(f"exported to {args.export}", file=sys.stderr)
+
+    if args.record or args.snapshot:
+        from magics_tpu.env.sdf import env_to_image
+        from magics_tpu.viz.render import record_frames, render_trajectories
+
+        export = sim.export()
+        obstacle = env_to_image(scenario.environment, expansion=0.0) == 0
+        world = scenario.environment.world_size
+        if args.snapshot:
+            render_trajectories(
+                export, args.snapshot, obstacle=obstacle, world=world
+            )
+            if not args.quiet:
+                print(f"snapshot: {args.snapshot}", file=sys.stderr)
+        if args.record:
+            n = record_frames(
+                export, args.record, obstacle=obstacle, world=world,
+                comms_radius=scenario.config.robot.communication.radius,
+            )
+            if not args.quiet:
+                print(f"recorded {n} frames to {args.record}", file=sys.stderr)
     return 0
 
 

@@ -90,6 +90,11 @@ class GbpParams:
     log_every: int = 0
     log_capacity: int = 0
 
+    # collision event AABB recording (export.rs:171-214); 0 disables — the
+    # recording scatter materialises an [R^2, 7] buffer per tick, so keep it
+    # off for swarm-scale benchmarking runs
+    collision_log_capacity: int = 0
+
     # [robot]
     target_speed: float = 4.0
     planning_horizon_seconds: float = 5.0
@@ -216,6 +221,15 @@ class SimState:
     re_count: jax.Array        # [R] i32 — per-robot environment events
     rr_overlap: jax.Array      # [R, R] bool — current overlap (hysteresis)
     re_overlap: jax.Array      # [R] bool
+    # collision event records (export.rs:171-214): ring buffers of
+    # (a, b, min_x, min_y, max_x, max_y, tick) / (robot, aabb..., tick)
+    rr_events: jax.Array       # [C, 7] f32
+    rr_event_count: jax.Array  # [] i32 — total events seen (may exceed C)
+    re_events: jax.Array       # [C, 6] f32
+    re_event_count: jax.Array  # [] i32
+    # goal areas (goal_area.rs:27-104): AABBs + first-reach timestamps
+    ga_aabb: jax.Array         # [G, 4] (min_x, min_y, max_x, max_y)
+    ga_history: jax.Array      # [G, R] f32 — virtual seconds, -1 unreached
 
     @property
     def n_robots(self) -> int:
@@ -241,6 +255,7 @@ def init_state(
     fin_check_var: np.ndarray,     # [R] i32
     fin_check_dist2: np.ndarray,   # [R]
     seed: int = 0,
+    goal_areas: np.ndarray | None = None,  # [G, 4]
 ) -> SimState:
     """Build the initial dense state for a scenario.
 
@@ -350,5 +365,15 @@ def init_state(
         re_count=izeros(R),
         rr_overlap=jnp.zeros((R, R), dtype=bool),
         re_overlap=jnp.zeros((R,), dtype=bool),
+        rr_events=jnp.zeros((params.collision_log_capacity, 7), dtype=jnp.float32),
+        rr_event_count=jnp.asarray(0, dtype=jnp.int32),
+        re_events=jnp.zeros((params.collision_log_capacity, 6), dtype=jnp.float32),
+        re_event_count=jnp.asarray(0, dtype=jnp.int32),
+        ga_aabb=jnp.asarray(
+            goal_areas if goal_areas is not None else np.zeros((0, 4)), dtype=f
+        ),
+        ga_history=jnp.full(
+            ((0 if goal_areas is None else len(goal_areas)), R), -1.0, dtype=f
+        ),
     )
     return state

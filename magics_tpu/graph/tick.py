@@ -839,6 +839,36 @@ def update_collisions(
         rr_count=rr_count,
     )
 
+    # event AABB recording (export.rs:171-185): intersection box of the two
+    # robots' disc AABBs, appended to a ring buffer
+    C = state.rr_events.shape[0]
+    if C > 0:
+        f = state.pos.dtype
+        flat = new_pair.reshape(-1)  # [R*R]
+        ii = jnp.arange(R)
+        a_idx = jnp.broadcast_to(ii[:, None], (R, R)).reshape(-1)
+        b_idx = jnp.broadcast_to(ii[None, :], (R, R)).reshape(-1)
+        pa, ra = state.pos[a_idx], state.radius[a_idx]
+        pb, rb = state.pos[b_idx], state.radius[b_idx]
+        mn = jnp.maximum(pa - ra[:, None], pb - rb[:, None])
+        mx = jnp.minimum(pa + ra[:, None], pb + rb[:, None])
+        rows = jnp.concatenate(
+            [
+                a_idx[:, None].astype(f),
+                b_idx[:, None].astype(f),
+                mn,
+                mx,
+                jnp.broadcast_to(state.tick.astype(f), (R * R,))[:, None],
+            ],
+            axis=1,
+        )  # [R*R, 7]
+        rank = jnp.cumsum(flat) - 1
+        slot = jnp.where(flat, (state.rr_event_count + rank) % C, C)
+        updates["rr_events"] = state.rr_events.at[slot].set(rows, mode="drop")
+        updates["rr_event_count"] = (
+            state.rr_event_count + jnp.sum(flat).astype(jnp.int32)
+        )
+
     if env_dist is not None:
         H, W = env_dist.shape
         ww, wh = params.world_width, params.world_height
@@ -853,8 +883,47 @@ def update_collisions(
             re_collisions=state.re_collisions + jnp.sum(new_re).astype(jnp.int32),
             re_count=state.re_count + new_re.astype(jnp.int32),
         )
+        C = state.re_events.shape[0]
+        if C > 0:
+            f = state.pos.dtype
+            rr_ = state.radius[:, None]
+            rows = jnp.concatenate(
+                [
+                    jnp.arange(R, dtype=f)[:, None],
+                    state.pos - rr_,
+                    state.pos + rr_,
+                    jnp.broadcast_to(state.tick.astype(f), (R,))[:, None],
+                ],
+                axis=1,
+            )  # [R, 6]
+            rank = jnp.cumsum(new_re) - 1
+            slot = jnp.where(new_re, (state.re_event_count + rank) % C, C)
+            updates["re_events"] = state.re_events.at[slot].set(rows, mode="drop")
+            updates["re_event_count"] = (
+                state.re_event_count + jnp.sum(new_re).astype(jnp.int32)
+            )
 
     return replace(state, **updates)
+
+
+def update_goal_areas(state: SimState, params: GbpParams) -> SimState:
+    """Goal-area intersection check (goal_area.rs:67-104): a robot disc
+    intersecting an area's AABB records the first-reach timestamp."""
+    G = state.ga_aabb.shape[0]
+    if G == 0:
+        return state
+    # closest point of the AABB to each robot center
+    mn = state.ga_aabb[:, None, 0:2]  # [G, 1, 2]
+    mx = state.ga_aabb[:, None, 2:4]
+    p = state.pos[None, :, :]         # [1, R, 2]
+    clamped = jnp.clip(p, mn, mx)
+    d2 = jnp.sum((p - clamped) ** 2, axis=-1)  # [G, R]
+    hit = state.active[None, :] & (d2 <= (state.radius[None, :] ** 2))
+    now = state.tick.astype(state.ga_history.dtype) / params.hz
+    first = hit & (state.ga_history < 0)
+    return replace(
+        state, ga_history=jnp.where(first, now, state.ga_history)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -884,6 +953,7 @@ def step(
         state = update_prior_current(state, params)
         state = iterate_gbp(state, sdf, params)
         state = update_collisions(state, params, env_dist)
+        state = update_goal_areas(state, params)
         state = log_positions(state, params)
     return replace(state, tick=state.tick + 1)
 

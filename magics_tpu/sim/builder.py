@@ -81,6 +81,7 @@ def build_scenario(
     world: tuple[float, float] = (100.0, 100.0),
     dtype=jnp.float32,
     seed: int = 0,
+    goal_areas: np.ndarray | None = None,
     **param_overrides,
 ) -> tuple[GbpParams, SimState, jnp.ndarray]:
     """Build (params, state, sdf) for a run."""
@@ -144,5 +145,6 @@ def build_scenario(
         fin_check_var=fin_var,
         fin_check_dist2=fin_d2,
         seed=seed,
+        goal_areas=goal_areas,
     )
     return params, state, jnp.asarray(sdf, dtype=dtype)

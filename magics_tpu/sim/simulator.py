@@ -138,6 +138,16 @@ class Simulator:
             raise ValueError("scenario spawns no robots")
 
         self.specs = specs
+
+        # goal areas: the reference hardcodes two AABBs for the junction
+        # scenarios (goal_area.rs:105-119); same here, keyed by scenario name
+        goal_areas = None
+        if "junction" in scenario.name.lower():
+            goal_areas = np.array(
+                [[-8.0, -52.0, 8.0, -48.0], [48.0, -8.0, 52.0, 8.0]]
+            )
+        self._goal_areas = goal_areas
+
         sched = cfg.gbp.iteration_schedule
         self.params, self.state, self.sdf = build_scenario(
             specs,
@@ -169,6 +179,10 @@ class Simulator:
             safety_distance_multiplier=cfg.robot.inter_robot_safety_distance_multiplier,
             log_every=max(1, round(0.1 * self.hz)),  # 100 ms tracker cadence
             log_capacity=min(int(self.max_sim_time * self.hz), 10_000),
+            # collision AABB recording materialises an [R^2, 7] scatter per
+            # tick — keep it for experiment-scale runs, off for swarm scale
+            collision_log_capacity=256 if len(specs) <= 256 else 0,
+            goal_areas=goal_areas,
         )
         self.env_dist = jnp.asarray(self.env_dist_np, dtype=dtype)
 
@@ -196,8 +210,29 @@ class Simulator:
             )
         return self._planner
 
+    def save_checkpoint(self, path) -> None:
+        """Write the device state + host metadata (io/checkpoint.py)."""
+        from magics_tpu.io import checkpoint as CK
+
+        CK.save(path, self.state, meta={"scenario": self.scenario.name,
+                                        "seed": self.seed})
+
+    def resume(self, path) -> None:
+        """Restore a checkpoint written by `save_checkpoint` for the same
+        scenario; the run continues deterministically from the saved tick."""
+        from magics_tpu.io import checkpoint as CK
+
+        state, meta = CK.load(path)
+        if meta.get("scenario") not in (None, self.scenario.name):
+            raise ValueError(
+                f"checkpoint is for scenario {meta.get('scenario')!r}, "
+                f"not {self.scenario.name!r}"
+            )
+        self.state = state
+
     def run(
-        self, max_ticks: int | None = None, progress=None, chunk_ticks: int = 100
+        self, max_ticks: int | None = None, progress=None, chunk_ticks: int = 100,
+        checkpoint_path=None, checkpoint_every_s: float | None = None,
     ) -> dict:
         """Run until every robot finished (or max time).
 
@@ -208,14 +243,35 @@ class Simulator:
         runner = jax.jit(partial(T.run_ticks, n=chunk_ticks), static_argnums=2)
 
         state = self.state
-        tick = 0
+        tick = int(np.asarray(state.tick))  # nonzero when resumed
         last_spawn = max(s.spawn_tick for s in self.specs)
+        ckpt_interval = (
+            int(checkpoint_every_s * self.hz) if checkpoint_every_s else None
+        )
+        last_ckpt = tick
+        rem_runner = None
         while tick < max_ticks:
-            state = runner(state, self.sdf, self.params, env_dist=self.env_dist)
-            tick += chunk_ticks
+            n = min(chunk_ticks, max_ticks - tick)
+            if n == chunk_ticks:
+                state = runner(state, self.sdf, self.params, env_dist=self.env_dist)
+            else:  # exact final chunk so the run stops at max-time
+                if rem_runner is None:
+                    rem_runner = jax.jit(
+                        partial(T.run_ticks, n=n), static_argnums=2
+                    )
+                state = rem_runner(state, self.sdf, self.params, env_dist=self.env_dist)
+            tick += n
             n_done = int(np.asarray(jnp.sum(state.completed)))
             if progress is not None:
                 progress(tick, n_done)
+            if (
+                checkpoint_path is not None
+                and ckpt_interval
+                and tick - last_ckpt >= ckpt_interval
+            ):
+                self.state = state
+                self.save_checkpoint(checkpoint_path)
+                last_ckpt = tick
             if tick >= last_spawn and n_done == len(self.specs):
                 break
 
@@ -297,6 +353,49 @@ class Simulator:
                 "color": "",
             }
 
+        # collision event records (export.rs:171-214)
+        def _events(buf, count):
+            n = min(int(count), buf.shape[0])
+            return buf[:n]
+
+        rr_ev = _events(np.asarray(state.rr_events), np.asarray(state.rr_event_count))
+        re_ev = _events(np.asarray(state.re_events), np.asarray(state.re_event_count))
+        coll_robots = [
+            {
+                "robot_a": int(e[0]),
+                "robot_b": int(e[1]),
+                "aabbs": [{"mins": [float(e[2]), float(e[3])],
+                           "maxs": [float(e[4]), float(e[5])]}],
+            }
+            for e in rr_ev
+        ]
+        coll_env = [
+            {
+                "robot": int(e[0]),
+                "obstacle": 0,
+                "aabbs": [{"mins": [float(e[1]), float(e[2])],
+                           "maxs": [float(e[3]), float(e[4])]}],
+            }
+            for e in re_ev
+        ]
+
+        # goal areas (goal_area.rs / export.rs:235-247)
+        goal_areas = {}
+        if self._goal_areas is not None:
+            hist = np.asarray(state.ga_history)
+            for g, aabb in enumerate(self._goal_areas):
+                goal_areas[str(g)] = {
+                    "aabb": {"mins": [float(aabb[0]), float(aabb[1])],
+                             "maxs": [float(aabb[2]), float(aabb[3])]},
+                    "history": {
+                        str(i): float(hist[g, i])
+                        for i in range(hist.shape[1])
+                        if hist[g, i] >= 0
+                    },
+                }
+
+        from magics_tpu.env.obstacles import export_obstacles
+
         sched = self.cfg.gbp.iteration_schedule
         data = {
             "scenario": self.scenario.name,
@@ -306,9 +405,9 @@ class Simulator:
             "robots": robots,
             "prng_seed": self.seed,
             "config": self.cfg.raw,
-            "obstacles": {},
-            "collisions": {"robots": [], "environment": []},
-            "goal_areas": {},
+            "obstacles": export_obstacles(self.scenario.environment),
+            "collisions": {"robots": coll_robots, "environment": coll_env},
+            "goal_areas": goal_areas,
         }
         if path is not None:
             Path(path).write_text(json.dumps(data))

@@ -25,6 +25,16 @@ def main(argv=None) -> int:
         default="./config/scenarios",
         help="directory containing scenario folders (config.toml + *.yaml)",
     )
+    p.add_argument(
+        "--dump-default",
+        choices=["config", "formation", "environment"],
+        help="print the default schema document and exit (cli.rs:40-48)",
+    )
+    p.add_argument(
+        "--dump-schedule",
+        action="store_true",
+        help="print the GBP iteration schedule table for the scenario",
+    )
     p.add_argument("--seed", type=int, default=None, help="override prng-seed")
     p.add_argument("--max-time", type=float, default=None, help="override max sim time (s)")
     p.add_argument("--export", metavar="PATH", help="write JSON export here")
@@ -67,6 +77,18 @@ def main(argv=None) -> int:
 
     from magics_tpu.config.loader import list_scenarios, load_scenario
 
+    if args.dump_default:
+        from magics_tpu.config import dump
+
+        print(
+            {
+                "config": dump.default_config_toml,
+                "formation": dump.default_formation_yaml,
+                "environment": dump.default_environment_yaml,
+            }[args.dump_default]()
+        )
+        return 0
+
     if args.list_scenarios:
         for name in list_scenarios(args.scenarios_dir):
             print(name)
@@ -87,6 +109,18 @@ def main(argv=None) -> int:
     from magics_tpu.sim.simulator import Simulator
 
     scenario = load_scenario(path)
+
+    if args.dump_schedule:
+        from magics_tpu.core.schedule import schedule_booleans
+
+        sched = scenario.config.gbp.iteration_schedule
+        table = schedule_booleans(sched.schedule, sched.internal, sched.external)
+        print(f"# {sched.schedule.value}: internal={sched.internal} external={sched.external}")
+        print("slot internal external")
+        for i, (a, b) in enumerate(table):
+            print(f"{i:4d} {str(bool(a)).lower():8s} {str(bool(b)).lower()}")
+        return 0
+
     sim = Simulator(
         scenario,
         seed=args.seed,

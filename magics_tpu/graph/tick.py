@@ -808,6 +808,69 @@ def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
     return state
 
 
+def update_message_counts(state: SimState, params: GbpParams) -> SimState:
+    """Per-robot message counters (factorgraph/mod.rs:28-125, summed per
+    graph factorgraph.rs:874-890): internal/external x sent/received.
+
+    All gating masks (active/mission, antenna, neighbour slots) are constant
+    within a tick — antenna flips once per tick in update_failed_comms — so
+    the per-slot counts reduce to closed-form products accumulated once per
+    tick. Skipped factors still *send* empty messages (factor/mod.rs:352-369)
+    and are counted, exactly like the reference's receive_message_from calls.
+
+    msg_counts layout: [R, 4] = (internal sent, external sent,
+    internal received, external received).
+    """
+    R, V = state.prior_mean.shape[:2]
+    n_int = sum(1 for i, _ in params.schedule if i)
+    n_ext = sum(1 for _, e in params.schedule if e)
+    if n_int == 0 and n_ext == 0:
+        return state
+
+    gate = (state.active & _not_idle(state)).astype(jnp.int32)
+    k_active = jnp.sum(state.nbr_mask, axis=1).astype(jnp.int32)  # [R]
+
+    # --- internal slot (factor pass + variable pass), per slot ---
+    per_factor_msgs = 0
+    if params.dynamic_enabled:
+        per_factor_msgs += 2 * (V - 1)
+    if params.obstacle_enabled and V > 2:
+        per_factor_msgs += V - 2
+    if params.tracking_enabled and V > 2:
+        per_factor_msgs += V - 2
+    # variable responses mirror the factor edges, plus one response per own
+    # inter-robot factor edge (the belief snapshot push)
+    int_per_slot = gate * (2 * per_factor_msgs) + gate * k_active * (V - 1)
+    internal = n_int * int_per_slot  # sent == received (same graph)
+
+    # --- external slot ---
+    send_gate = (state.active & state.antenna & _not_idle(state)).astype(jnp.int32)
+    ext_sent = jnp.zeros((R,), jnp.int32)
+    ext_recv = jnp.zeros((R,), jnp.int32)
+    if params.interrobot_enabled and n_ext > 0:
+        back, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask)
+        src = jnp.clip(state.nbr_idx, 0, R - 1)
+        # factor pass: each of r's ir factors sends (V-1) messages to the
+        # external variable; delivery gated on receiver antenna/mission
+        produced = send_gate[:, None] * state.nbr_mask.astype(jnp.int32)
+        deliver = (
+            (send_gate[:, None] > 0)
+            & state.nbr_mask
+            & (send_gate[src] > 0)
+            & has_back
+        ).astype(jnp.int32)
+        ext_sent += jnp.sum(produced, axis=1) * (V - 1)
+        ext_recv += jnp.sum(deliver, axis=1) * (V - 1)
+        # variable pass: responses to external factors, same masks mirrored
+        ext_sent += jnp.sum(deliver, axis=1) * (V - 1)
+        ext_recv += jnp.sum(deliver, axis=1) * (V - 1)
+        ext_sent = n_ext * ext_sent
+        ext_recv = n_ext * ext_recv
+
+    counts = jnp.stack([internal, ext_sent, internal, ext_recv], axis=1)
+    return replace(state, msg_counts=state.msg_counts + counts)
+
+
 # --------------------------------------------------------------------------
 # collisions
 # --------------------------------------------------------------------------
@@ -952,6 +1015,7 @@ def step(
         state = update_prior_horizon(state, params)
         state = update_prior_current(state, params)
         state = iterate_gbp(state, sdf, params)
+        state = update_message_counts(state, params)
         state = update_collisions(state, params, env_dist)
         state = update_goal_areas(state, params)
         state = log_positions(state, params)

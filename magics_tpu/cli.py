@@ -31,6 +31,11 @@ def main(argv=None) -> int:
         help="print the default schema document and exit (cli.rs:40-48)",
     )
     p.add_argument(
+        "--dump-environment",
+        choices=["intersection", "intermediate", "complex", "circle", "maze", "test"],
+        help="print a built-in environment preset as YAML (cli.rs:50-53)",
+    )
+    p.add_argument(
         "--dump-schedule",
         action="store_true",
         help="print the GBP iteration schedule table for the scenario",
@@ -87,6 +92,42 @@ def main(argv=None) -> int:
                 "environment": dump.default_environment_yaml,
             }[args.dump_default]()
         )
+        return 0
+
+    if args.dump_environment:
+        import dataclasses as dc
+
+        import yaml
+
+        from magics_tpu.env.builtin import BUILTINS
+
+        env = BUILTINS[args.dump_environment]()
+        doc = {
+            "tiles": {
+                "grid": env.grid,
+                "settings": {
+                    "tile-size": env.tile_size,
+                    "path-width": env.path_width,
+                    "obstacle-height": env.obstacle_height,
+                    "sdf": {
+                        "resolution": env.sdf.resolution,
+                        "expansion": env.sdf.expansion,
+                        "blur": env.sdf.blur,
+                    },
+                },
+            },
+            "obstacles": [
+                {
+                    "shape": type(o.shape).__name__.lower(),
+                    "rotation": o.rotation,
+                    "translation": list(o.translation),
+                    "tile": list(o.tile),
+                    **{k: v for k, v in dc.asdict(o.shape).items()},
+                }
+                for o in env.obstacles
+            ],
+        }
+        print(yaml.safe_dump(doc, sort_keys=False, allow_unicode=True))
         return 0
 
     if args.list_scenarios:

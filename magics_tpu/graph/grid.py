@@ -1,0 +1,166 @@
+"""Spatial-grid neighbour search — O(R) replacement for the O(R^2) scans.
+
+The reference discovers neighbours with an all-pairs distance check every
+FixedUpdate (crates/magics/src/planner/robot.rs:1362-1384) and counts
+robot-robot collisions the same way (planner/collisions.rs:102-140). That is
+fine for its 5-50 robot experiments but materialises [R, R] matrices — at the
+swarm scales this framework targets (10k+ robots) those are gigabytes per
+tick and quadratic FLOPs.
+
+This module bins robots into a uniform grid of cells and restricts the pair
+search to a static stencil of nearby cells, keeping every shape static for
+XLA:
+
+  * `build_grid`   — cell id per robot, then a [n_cells, C] bucket table of
+    robot ids built with one argsort + scatter (C = fixed cell capacity).
+  * `candidate_neighbours` — for each robot, gather the buckets of the
+    (2*reach+1)^2 surrounding cells into a [R, M] candidate id table
+    (M = stencil * C), with a validity mask.
+
+The stencil reach is chosen so any pair within `radius` shares the stencil
+(reach = ceil(radius / cell)); the exact distance test still runs on the
+candidates, so the grid changes complexity, not semantics. The only
+approximation is the fixed cell capacity C: overflowing robots are dropped
+from that cell's bucket (counted nowhere). Capacity is a builder knob sized
+from expected density; `grid_overflow` reports drops for validation runs.
+
+TPU notes: the bucket build is one sort over [R] keys plus gathers — all
+static shapes, no host sync. The candidate tables are [R, M] with
+M = stencil * capacity (e.g. 25 * 16 = 400), so memory is O(R * M) instead
+of O(R^2): at R = 16k that is ~25 MB instead of ~1 GB per f32 matrix.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """Static grid geometry (hashable, closed over by jit)."""
+
+    cell_size: float
+    nx: int                 # cells along x (world width + margin rings)
+    ny: int
+    reach: int              # stencil half-width in cells
+    capacity: int           # max robots recorded per cell
+    origin_x: float         # world coordinate of cell (0, 0)'s min corner
+    origin_y: float
+
+    @property
+    def n_cells(self) -> int:
+        return self.nx * self.ny
+
+    @property
+    def stencil(self) -> int:
+        return (2 * self.reach + 1) ** 2
+
+    @property
+    def n_candidates(self) -> int:
+        return self.stencil * self.capacity
+
+
+def make_grid_spec(
+    world: tuple[float, float],
+    cell_size: float,
+    search_radius: float,
+    capacity: int,
+) -> GridSpec:
+    """Build the static spec: margin rings of `reach` cells on every side so
+    robots up to reach*cell outside the world still resolve exactly."""
+    reach = max(1, int(math.ceil(search_radius / cell_size)))
+    nx = int(math.ceil(world[0] / cell_size)) + 2 * reach
+    ny = int(math.ceil(world[1] / cell_size)) + 2 * reach
+    return GridSpec(
+        cell_size=float(cell_size),
+        nx=nx,
+        ny=ny,
+        reach=reach,
+        capacity=int(capacity),
+        origin_x=-world[0] / 2.0 - reach * cell_size,
+        origin_y=-world[1] / 2.0 - reach * cell_size,
+    )
+
+
+def cell_ids(spec: GridSpec, pos: jax.Array, active: jax.Array) -> jax.Array:
+    """[R] int32 cell id per robot; inactive robots park in a virtual
+    overflow cell `n_cells` so they never appear in any bucket."""
+    cx = jnp.floor((pos[:, 0] - spec.origin_x) / spec.cell_size).astype(jnp.int32)
+    cy = jnp.floor((pos[:, 1] - spec.origin_y) / spec.cell_size).astype(jnp.int32)
+    cx = jnp.clip(cx, 0, spec.nx - 1)
+    cy = jnp.clip(cy, 0, spec.ny - 1)
+    cid = cy * spec.nx + cx
+    return jnp.where(active, cid, spec.n_cells)
+
+
+def build_grid(
+    spec: GridSpec, pos: jax.Array, active: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (cell [R], bucket [n_cells, C] of robot ids, -1 empty).
+
+    One stable argsort groups robots by cell; the rank of a robot within its
+    cell is its bucket column. Robots ranked past capacity drop (mode="drop").
+    """
+    R = pos.shape[0]
+    cell = cell_ids(spec, pos, active)
+    order = jnp.argsort(cell, stable=True)          # robot ids grouped by cell
+    sorted_cell = cell[order]
+    # first occurrence index of each cell value == searchsorted against itself
+    starts = jnp.searchsorted(sorted_cell, sorted_cell, side="left")
+    rank = jnp.arange(R, dtype=jnp.int32) - starts.astype(jnp.int32)
+    bucket = jnp.full((spec.n_cells + 1, spec.capacity), -1, dtype=jnp.int32)
+    bucket = bucket.at[sorted_cell, rank].set(
+        order.astype(jnp.int32), mode="drop"
+    )[: spec.n_cells]
+    return cell, bucket
+
+
+def grid_overflow(spec: GridSpec, pos: jax.Array, active: jax.Array) -> jax.Array:
+    """Number of robots dropped from over-full cells (validation helper)."""
+    cell = cell_ids(spec, pos, active)
+    counts = jnp.zeros((spec.n_cells + 1,), jnp.int32).at[cell].add(1)[: spec.n_cells]
+    return jnp.sum(jnp.maximum(counts - spec.capacity, 0))
+
+
+def candidate_neighbours(
+    spec: GridSpec,
+    cell: jax.Array,       # [R]
+    bucket: jax.Array,     # [n_cells, C]
+    active: jax.Array,     # [R]
+) -> tuple[jax.Array, jax.Array]:
+    """For each robot, the ids of all robots bucketed in its stencil.
+
+    Returns (cand_idx [R, M] int32 with -1 invalid, cand_mask [R, M]); the
+    self pair is masked out. Cells in the stencil that fall off the grid are
+    masked rather than clamped, so no candidate appears twice.
+    """
+    R = cell.shape[0]
+    cx = cell % spec.nx
+    cy = cell // spec.nx
+
+    offs = [
+        (dx, dy)
+        for dy in range(-spec.reach, spec.reach + 1)
+        for dx in range(-spec.reach, spec.reach + 1)
+    ]
+    odx = jnp.asarray([o[0] for o in offs], jnp.int32)  # [S]
+    ody = jnp.asarray([o[1] for o in offs], jnp.int32)
+
+    ncx = cx[:, None] + odx[None, :]                    # [R, S]
+    ncy = cy[:, None] + ody[None, :]
+    valid_cell = (ncx >= 0) & (ncx < spec.nx) & (ncy >= 0) & (ncy < spec.ny)
+    ncid = jnp.clip(ncy, 0, spec.ny - 1) * spec.nx + jnp.clip(ncx, 0, spec.nx - 1)
+
+    cand = bucket[ncid]                                 # [R, S, C]
+    cand = jnp.where(valid_cell[..., None], cand, -1)
+    cand = cand.reshape(R, -1)                          # [R, M]
+
+    me = jnp.arange(R, dtype=jnp.int32)[:, None]
+    mask = (cand >= 0) & (cand != me) & active[:, None]
+    # inactive robots are never bucketed, so cand >= 0 implies active[cand]
+    return jnp.where(mask, cand, -1), mask

@@ -122,6 +122,20 @@ class GbpParams:
     pallas_interpret: bool = False
     pallas_r_tile: int = 128
 
+    # Spatial-grid neighbour search (graph/grid.py). 0 keeps the reference's
+    # dense O(R^2) scans (exact at small R); > 0 bins robots into cells of
+    # this size and searches a static stencil — O(R) memory, required at
+    # swarm scale. `grid_capacity` is the per-cell bucket size;
+    # `collision_partners` sizes the per-robot overlap table that replaces
+    # the [R, R] collision-hysteresis matrix in grid mode.
+    grid_cell_size: float = 0.0
+    grid_capacity: int = 16
+    collision_partners: int = 8
+
+    @property
+    def use_grid(self) -> bool:
+        return self.grid_cell_size > 0.0
+
     @property
     def dt(self) -> float:
         return 1.0 / self.hz
@@ -219,7 +233,10 @@ class SimState:
     re_collisions: jax.Array   # [] i32 — robot-environment collision events
     rr_count: jax.Array        # [R] i32 — per-robot robot-robot events
     re_count: jax.Array        # [R] i32 — per-robot environment events
-    rr_overlap: jax.Array      # [R, R] bool — current overlap (hysteresis)
+    # current-overlap hysteresis state: dense mode keeps the [R, R] matrix,
+    # grid mode a per-robot partner-id table [R, P] (-1 empty) instead
+    rr_overlap: jax.Array      # [R, R] bool (dense) / [R, 0] (grid)
+    rr_partner: jax.Array      # [R, P] i32 (grid)   / [R, 0] (dense)
     re_overlap: jax.Array      # [R] bool
     # collision event records (export.rs:171-214): ring buffers of
     # (a, b, min_x, min_y, max_x, max_y, tick) / (robot, aabb..., tick)
@@ -363,7 +380,12 @@ def init_state(
         re_collisions=jnp.asarray(0, dtype=jnp.int32),
         rr_count=izeros(R),
         re_count=izeros(R),
-        rr_overlap=jnp.zeros((R, R), dtype=bool),
+        rr_overlap=jnp.zeros((R, 0 if params.use_grid else R), dtype=bool),
+        rr_partner=jnp.full(
+            (R, params.collision_partners if params.use_grid else 0),
+            -1,
+            dtype=jnp.int32,
+        ),
         re_overlap=jnp.zeros((R,), dtype=bool),
         rr_events=jnp.zeros((params.collision_log_capacity, 7), dtype=jnp.float32),
         rr_event_count=jnp.asarray(0, dtype=jnp.int32),

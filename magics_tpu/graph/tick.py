@@ -224,6 +224,76 @@ def update_connectivity(state: SimState, params: GbpParams) -> SimState:
     )[:, :K]
     # re-derive: slots that are kept OR newly assigned
     nbr_idx_new = jnp.where(keep, state.nbr_idx, nbr_idx_new)
+    return _finish_connectivity(state, keep, nbr_idx_new)
+
+
+def update_connectivity_grid(state: SimState, params: GbpParams) -> SimState:
+    """Grid-accelerated connectivity (graph/grid.py): same semantics as
+    `update_connectivity` — kept slots re-checked by exact distance, new
+    in-range pairs assigned to free slots in ascending-id order — but the
+    pair search runs over the stencil candidates instead of all R^2 pairs."""
+    from magics_tpu.graph import grid as G
+
+    R, K = state.nbr_idx.shape
+    spec = G.make_grid_spec(
+        (params.world_width, params.world_height),
+        params.grid_cell_size,
+        params.comms_radius,
+        params.grid_capacity,
+    )
+    cell, bucket = G.build_grid(spec, state.pos, state.active)
+    cand_idx, cand_mask = G.candidate_neighbours(spec, cell, bucket, state.active)
+    radius2 = params.comms_radius * params.comms_radius
+
+    # keep existing slots by exact distance (both endpoints alive)
+    safe = jnp.clip(state.nbr_idx, 0, R - 1)
+    d2_slot = jnp.sum((state.pos[:, None, :] - state.pos[safe]) ** 2, axis=-1)
+    keep = (
+        state.nbr_mask
+        & state.active[:, None]
+        & state.active[safe]
+        & (d2_slot <= radius2)
+    )
+
+    # in-range candidates not already connected
+    cpos = state.pos[jnp.clip(cand_idx, 0, R - 1)]          # [R, M, 2]
+    d2 = jnp.sum((state.pos[:, None, :] - cpos) ** 2, axis=-1)
+    in_range = cand_mask & (d2 <= radius2)
+    kept_ids = jnp.where(keep, state.nbr_idx, -2)
+    connected = jnp.any(cand_idx[:, :, None] == kept_ids[:, None, :], axis=-1)
+    new_pair = in_range & ~connected
+
+    # assign new neighbours to free slots in ascending-id order (the dense
+    # path's BTreeSet order); sort keys: candidate id where new, else R
+    key = jnp.where(new_pair, cand_idx, R)
+    sorted_key = jnp.sort(key, axis=1)                       # [R, M]
+    sorted_new = sorted_key < R
+    new_rank = jnp.cumsum(sorted_new, axis=1) - 1
+    n_free = jnp.sum(~keep, axis=1)
+    slot_order = jnp.argsort(
+        jnp.where(~keep, jnp.arange(K)[None, :], K + jnp.arange(K)[None, :]), axis=1
+    )
+    assignable = sorted_new & (new_rank < n_free[:, None]) & (new_rank < K)
+    target_slot = jnp.take_along_axis(
+        slot_order, jnp.clip(new_rank, 0, K - 1), axis=1
+    )
+    scat_slot = jnp.where(assignable, target_slot, K)
+    rows = jnp.arange(R)[:, None]
+    base = jnp.concatenate(
+        [jnp.where(keep, state.nbr_idx, -1), jnp.full((R, 1), -1, jnp.int32)], axis=1
+    )
+    nbr_idx_new = base.at[rows, scat_slot].set(
+        jnp.where(assignable, sorted_key, -1).astype(jnp.int32), mode="drop"
+    )[:, :K]
+    nbr_idx_new = jnp.where(keep, state.nbr_idx, nbr_idx_new)
+    return _finish_connectivity(state, keep, nbr_idx_new)
+
+
+def _finish_connectivity(
+    state: SimState, keep: jax.Array, nbr_idx_new: jax.Array
+) -> SimState:
+    """Shared connectivity tail: reciprocity enforcement, message-state reset
+    for churned slots, and the new-factor belief seeding (robot.rs:1547-1585)."""
     is_new = ~keep & (nbr_idx_new >= 0)
     mask_new = keep | is_new
 
@@ -234,7 +304,6 @@ def update_connectivity(state: SimState, params: GbpParams) -> SimState:
 
     # ---- message state maintenance ----
     slot_reset = ~keep  # covers dropped and newly-created slots
-    V1 = state.ir_v2f_ext_eta.shape[2]
 
     def reset(arr):
         return jnp.where(_exp(slot_reset, arr.ndim - 2), 0, arr)
@@ -933,38 +1002,125 @@ def update_collisions(
         )
 
     if env_dist is not None:
-        H, W = env_dist.shape
-        ww, wh = params.world_width, params.world_height
-        xf = (state.pos[:, 0] + ww / 2.0) * (W / ww)
-        yf = (-state.pos[:, 1] + wh / 2.0) * (H / wh)
-        xi = jnp.clip(xf, 0, W - 1).astype(jnp.int32)
-        yi = jnp.clip(yf, 0, H - 1).astype(jnp.int32)
-        re_overlap = act & (env_dist[yi, xi] < state.radius)
-        new_re = re_overlap & ~state.re_overlap
-        updates.update(
-            re_overlap=re_overlap,
-            re_collisions=state.re_collisions + jnp.sum(new_re).astype(jnp.int32),
-            re_count=state.re_count + new_re.astype(jnp.int32),
+        updates.update(_env_collision_updates(state, params, env_dist))
+
+    return replace(state, **updates)
+
+
+def _env_collision_updates(
+    state: SimState, params: GbpParams, env_dist: jax.Array
+) -> dict:
+    """Robot-environment overlap via the euclidean distance field
+    (collisions.rs:108-140), shared by the dense and grid paths."""
+    R = state.pos.shape[0]
+    H, W = env_dist.shape
+    ww, wh = params.world_width, params.world_height
+    xf = (state.pos[:, 0] + ww / 2.0) * (W / ww)
+    yf = (-state.pos[:, 1] + wh / 2.0) * (H / wh)
+    xi = jnp.clip(xf, 0, W - 1).astype(jnp.int32)
+    yi = jnp.clip(yf, 0, H - 1).astype(jnp.int32)
+    re_overlap = state.active & (env_dist[yi, xi] < state.radius)
+    new_re = re_overlap & ~state.re_overlap
+    updates = dict(
+        re_overlap=re_overlap,
+        re_collisions=state.re_collisions + jnp.sum(new_re).astype(jnp.int32),
+        re_count=state.re_count + new_re.astype(jnp.int32),
+    )
+    C = state.re_events.shape[0]
+    if C > 0:
+        f = state.pos.dtype
+        rr_ = state.radius[:, None]
+        rows = jnp.concatenate(
+            [
+                jnp.arange(R, dtype=f)[:, None],
+                state.pos - rr_,
+                state.pos + rr_,
+                jnp.broadcast_to(state.tick.astype(f), (R,))[:, None],
+            ],
+            axis=1,
+        )  # [R, 6]
+        rank = jnp.cumsum(new_re) - 1
+        slot = jnp.where(new_re, (state.re_event_count + rank) % C, C)
+        updates["re_events"] = state.re_events.at[slot].set(rows, mode="drop")
+        updates["re_event_count"] = (
+            state.re_event_count + jnp.sum(new_re).astype(jnp.int32)
         )
-        C = state.re_events.shape[0]
-        if C > 0:
-            f = state.pos.dtype
-            rr_ = state.radius[:, None]
-            rows = jnp.concatenate(
-                [
-                    jnp.arange(R, dtype=f)[:, None],
-                    state.pos - rr_,
-                    state.pos + rr_,
-                    jnp.broadcast_to(state.tick.astype(f), (R,))[:, None],
-                ],
-                axis=1,
-            )  # [R, 6]
-            rank = jnp.cumsum(new_re) - 1
-            slot = jnp.where(new_re, (state.re_event_count + rank) % C, C)
-            updates["re_events"] = state.re_events.at[slot].set(rows, mode="drop")
-            updates["re_event_count"] = (
-                state.re_event_count + jnp.sum(new_re).astype(jnp.int32)
-            )
+    return updates
+
+
+def update_collisions_grid(
+    state: SimState, params: GbpParams, env_dist: jax.Array | None = None
+) -> SimState:
+    """Grid-mode robot-robot collision events. Hysteresis is tracked with a
+    per-robot table of currently-overlapping partner ids ([R, P], lowest ids
+    kept) instead of the dense [R, R] matrix: an event is counted when a
+    partner enters the table (same enter-edge semantics as
+    collisions.rs:102-140, seen symmetrically by both robots and counted once
+    with the a < b convention)."""
+    from magics_tpu.graph import grid as G
+
+    R = state.pos.shape[0]
+    P = state.rr_partner.shape[1]
+    spec = G.make_grid_spec(
+        (params.world_width, params.world_height),
+        params.grid_cell_size,
+        params.comms_radius,
+        params.grid_capacity,
+    )
+    cell, bucket = G.build_grid(spec, state.pos, state.active)
+    cand_idx, cand_mask = G.candidate_neighbours(spec, cell, bucket, state.active)
+
+    safe = jnp.clip(cand_idx, 0, R - 1)
+    d2 = jnp.sum((state.pos[:, None, :] - state.pos[safe]) ** 2, axis=-1)
+    rsum = state.radius[:, None] + state.radius[safe]
+    overlap = cand_mask & (d2 < rsum * rsum)                 # [R, M]
+
+    # current partner table: the P lowest overlapping ids
+    key = jnp.where(overlap, cand_idx, R)
+    cur = jnp.sort(key, axis=1)[:, :P]
+    cur = jnp.where(cur < R, cur, -1).astype(jnp.int32)
+
+    prev = state.rr_partner
+    is_new = (cur >= 0) & ~jnp.any(cur[:, :, None] == prev[:, None, :], axis=-1)
+    me = jnp.arange(R, dtype=jnp.int32)[:, None]
+    once = is_new & (cur > me)                               # count each pair once
+    new_events = jnp.sum(once).astype(jnp.int32)
+
+    updates = dict(
+        rr_partner=cur,
+        rr_collisions=state.rr_collisions + new_events,
+        rr_count=state.rr_count + jnp.sum(is_new, axis=1).astype(jnp.int32),
+    )
+
+    C = state.rr_events.shape[0]
+    if C > 0:
+        f = state.pos.dtype
+        flat = once.reshape(-1)                              # [R*P]
+        a_idx = jnp.broadcast_to(me, (R, P)).reshape(-1)
+        b_idx = jnp.clip(cur, 0, R - 1).reshape(-1)
+        pa, ra = state.pos[a_idx], state.radius[a_idx]
+        pb, rb = state.pos[b_idx], state.radius[b_idx]
+        mn = jnp.maximum(pa - ra[:, None], pb - rb[:, None])
+        mx = jnp.minimum(pa + ra[:, None], pb + rb[:, None])
+        rows = jnp.concatenate(
+            [
+                a_idx[:, None].astype(f),
+                b_idx[:, None].astype(f),
+                mn,
+                mx,
+                jnp.broadcast_to(state.tick.astype(f), (R * P,))[:, None],
+            ],
+            axis=1,
+        )
+        rank = jnp.cumsum(flat) - 1
+        slot = jnp.where(flat, (state.rr_event_count + rank) % C, C)
+        updates["rr_events"] = state.rr_events.at[slot].set(rows, mode="drop")
+        updates["rr_event_count"] = (
+            state.rr_event_count + jnp.sum(flat).astype(jnp.int32)
+        )
+
+    if env_dist is not None:
+        updates.update(_env_collision_updates(state, params, env_dist))
 
     return replace(state, **updates)
 
@@ -1010,13 +1166,19 @@ def step(
     with jax.default_matmul_precision("highest"):
         state = activate_due_spawns(state)
         state = check_waypoints(state, params)
-        state = update_connectivity(state, params)
+        if params.use_grid:
+            state = update_connectivity_grid(state, params)
+        else:
+            state = update_connectivity(state, params)
         state = update_failed_comms(state, params)
         state = update_prior_horizon(state, params)
         state = update_prior_current(state, params)
         state = iterate_gbp(state, sdf, params)
         state = update_message_counts(state, params)
-        state = update_collisions(state, params, env_dist)
+        if params.use_grid:
+            state = update_collisions_grid(state, params, env_dist)
+        else:
+            state = update_collisions(state, params, env_dist)
         state = update_goal_areas(state, params)
         state = log_positions(state, params)
     return replace(state, tick=state.tick + 1)

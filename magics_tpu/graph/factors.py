@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from magics_tpu.core.constants import DOFS
-from magics_tpu.core.linalg import marginalize_two_block
+from magics_tpu.core.linalg import marginalize_two_block, mm, mtm
 
 
 def dynamic_factor_messages(
@@ -71,7 +71,7 @@ def dynamic_factor_messages(
     j_bot = jnp.concatenate([zero2b, eye2b, zero2b, -eye2b], axis=-1)
     J = jnp.concatenate([j_top, j_bot], axis=-2)  # [..., 4, 8]
 
-    lam_f = jnp.einsum("...ki,...kl,...lj->...ij", J, qinv, J)  # [..., 8, 8]
+    lam_f = mtm(J, mm(qinv, J))  # J^T Q^-1 J, [..., 8, 8]
 
     # Marginalise to each side. Edge a = var i (block 0), edge b = var i+1.
     laa = lam_f[..., :4, :4]

@@ -843,9 +843,10 @@ def external_variable_pass(state: SimState, params: GbpParams) -> SimState:
 def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
     """`iterate_gbp_v2` (robot.rs:1769-1861): run the iteration schedule.
 
-    The schedule is compiled as a `lax.scan` over its (internal, external)
-    flags so the slot body is traced once regardless of schedule length
-    (Circle Experiment runs 50 slots per tick).
+    The schedule flags are static, so the loop unrolls at trace time: no
+    `lax.cond` (whose identity branches force whole-state copies every slot)
+    and no scan carry — XLA sees the straight-line dataflow of exactly the
+    passes that run and fuses/aliases across slots.
     """
     if not params.schedule:
         return state
@@ -858,22 +859,13 @@ def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
             r_tile=params.pallas_r_tile, interpret=params.pallas_interpret,
         )
 
-    sched = jnp.asarray(params.schedule, dtype=bool)  # [S, 2]
-
-    def internal(st: SimState) -> SimState:
-        st = internal_factor_pass(st, sdf, params)
-        return internal_variable_pass(st, params)
-
-    def external(st: SimState) -> SimState:
-        st = external_factor_pass(st, params)
-        return external_variable_pass(st, params)
-
-    def body(st: SimState, flags):
-        st = jax.lax.cond(flags[0], internal, lambda s: s, st)
-        st = jax.lax.cond(flags[1], external, lambda s: s, st)
-        return st, None
-
-    state, _ = jax.lax.scan(body, state, sched)
+    for internal_flag, external_flag in params.schedule:
+        if internal_flag:
+            state = internal_factor_pass(state, sdf, params)
+            state = internal_variable_pass(state, params)
+        if external_flag:
+            state = external_factor_pass(state, params)
+            state = external_variable_pass(state, params)
     return state
 
 

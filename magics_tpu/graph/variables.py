@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from magics_tpu.core.linalg import belief_covariance
+from magics_tpu.core.linalg import belief_covariance, mv
 
 
 class BeliefUpdate(NamedTuple):
@@ -84,6 +84,6 @@ def update_beliefs(
     cov, inv_ok = belief_covariance(lam)
     valid = precision_not_zero & inv_ok
     mean = jnp.where(
-        valid[..., None], jnp.einsum("...ij,...j->...i", cov, eta), old_mean
+        valid[..., None], mv(cov, eta), old_mean
     )
     return BeliefUpdate(eta=eta, lam=lam, mean=mean, valid=valid)

@@ -61,6 +61,12 @@ def main(argv=None) -> int:
         help="periodic checkpoint interval in sim seconds",
     )
     p.add_argument("--resume", metavar="PATH", help="resume from a checkpoint")
+    p.add_argument(
+        "--save-settings",
+        metavar="PATH",
+        help="serialise the effective Config back to TOML "
+        "(simulation_loader.rs:742-763 save_settings parity)",
+    )
     p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
     p.add_argument(
         "--platform",
@@ -185,6 +191,11 @@ def main(argv=None) -> int:
                 f"  t={tick / sim.hz:7.1f}s  completed {n_done}/{len(sim.specs)}",
                 file=sys.stderr,
             )
+
+    if args.save_settings:
+        out = sim.save_settings(args.save_settings)
+        if not args.quiet:
+            print(f"settings saved to {out}", file=sys.stderr)
 
     if args.resume:
         sim.resume(args.resume)

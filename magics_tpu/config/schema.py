@@ -248,3 +248,129 @@ class Config:
     def from_file(cls, path) -> "Config":
         with open(path, "rb") as f:
             return cls.parse(tomllib.load(f))
+
+
+# ---------------------------------------------------------------------------
+# TOML round-trip (the reference's save_settings, simulation_loader.rs:742-763:
+# the live Config is serialised back to the scenario's config.toml)
+# ---------------------------------------------------------------------------
+
+def _toml_scalar(v) -> str:
+    import json as _json
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        s = repr(v)
+        return s if ("." in s or "e" in s or "E" in s or "inf" in s or "nan" in s) else s + ".0"
+    if isinstance(v, str):
+        return _json.dumps(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_scalar(x) for x in v) + "]"
+    raise TypeError(f"cannot serialise {type(v)} to TOML")
+
+
+def dumps_toml(d: dict, _prefix: str = "") -> str:
+    """Minimal TOML emitter (scalars/arrays + nested tables) — enough for the
+    Config schema; the stdlib only ships a reader."""
+    lines: list[str] = []
+    tables: list[tuple[str, dict]] = []
+    for k, v in d.items():
+        if isinstance(v, dict):
+            tables.append((k, v))
+        else:
+            lines.append(f"{k} = {_toml_scalar(v)}")
+    out = "\n".join(lines)
+    for k, v in tables:
+        name = f"{_prefix}{k}"
+        body = dumps_toml(v, _prefix=name + ".")
+        out += f"\n\n[{name}]\n{body}" if body else f"\n\n[{name}]"
+    return out.strip() + "\n" if (lines or tables) else ""
+
+
+def _config_to_dict(cfg: "Config") -> dict:
+    """Current typed values in the kebab-case TOML layout, merged over the
+    raw document so permissively-parsed sections round-trip unchanged."""
+    import copy
+
+    d = copy.deepcopy(cfg.raw) if cfg.raw else {}
+    d["environment"] = cfg.environment
+    if cfg.environment_image:
+        d["environment_image"] = cfg.environment_image
+    if cfg.formation_group:
+        d["formation_group"] = cfg.formation_group
+    g = d.setdefault("gbp", {})
+    g["sigma-pose-fixed"] = cfg.gbp.sigma_pose_fixed
+    g["sigma-factor-dynamics"] = cfg.gbp.sigma_factor_dynamics
+    g["sigma-factor-interrobot"] = cfg.gbp.sigma_factor_interrobot
+    g["sigma-factor-obstacle"] = cfg.gbp.sigma_factor_obstacle
+    g["sigma-factor-tracking"] = cfg.gbp.sigma_factor_tracking
+    g["lookahead-multiple"] = cfg.gbp.lookahead_multiple
+    g["variables"] = cfg.gbp.variables
+    g.setdefault("tracking", {}).update(
+        {
+            "switch-padding": cfg.gbp.tracking.switch_padding,
+            "attraction-distance": cfg.gbp.tracking.attraction_distance,
+        }
+    )
+    g.setdefault("iteration-schedule", {}).update(
+        {
+            "internal": cfg.gbp.iteration_schedule.internal,
+            "external": cfg.gbp.iteration_schedule.external,
+            "schedule": cfg.gbp.iteration_schedule.schedule.value,
+        }
+    )
+    g.setdefault("factors-enabled", {}).update(
+        {
+            "dynamic": cfg.gbp.factors_enabled.dynamic,
+            "interrobot": cfg.gbp.factors_enabled.interrobot,
+            "obstacle": cfg.gbp.factors_enabled.obstacle,
+            "tracking": cfg.gbp.factors_enabled.tracking,
+        }
+    )
+    r = d.setdefault("robot", {})
+    r["planning-horizon"] = cfg.robot.planning_horizon
+    r["target-speed"] = cfg.robot.target_speed
+    r["inter-robot-safety-distance-multiplier"] = (
+        cfg.robot.inter_robot_safety_distance_multiplier
+    )
+    r["radius"] = {"min": cfg.robot.radius.min, "max": cfg.robot.radius.max}
+    r.setdefault("communication", {}).update(
+        {
+            "radius": cfg.robot.communication.radius,
+            "failure-rate": cfg.robot.communication.failure_rate,
+        }
+    )
+    s = d.setdefault("simulation", {})
+    s["max-time"] = cfg.simulation.max_time
+    s["time-scale"] = cfg.simulation.time_scale
+    s["manual-step-factor"] = cfg.simulation.manual_step_factor
+    s["hz"] = cfg.simulation.hz
+    s["prng-seed"] = cfg.simulation.prng_seed
+    s["pause-on-spawn"] = cfg.simulation.pause_on_spawn
+    s["despawn-robot-when-final-waypoint-reached"] = (
+        cfg.simulation.despawn_robot_when_final_waypoint_reached
+    )
+    s["exit-application-on-scenario-finished"] = (
+        cfg.simulation.exit_application_on_scenario_finished
+    )
+    t = d.setdefault("rrt", {})
+    t["max-iterations"] = cfg.rrt.max_iterations
+    t["step-size"] = cfg.rrt.step_size
+    t["collision-radius"] = cfg.rrt.collision_radius
+    t["neighbourhood-radius"] = cfg.rrt.neighbourhood_radius
+    t.setdefault("smoothing", {}).update(
+        {
+            "enabled": cfg.rrt.smoothing_enabled,
+            "max-iterations": cfg.rrt.smoothing_max_iterations,
+            "step-size": cfg.rrt.smoothing_step_size,
+        }
+    )
+    return d
+
+
+def config_to_toml(cfg: "Config") -> str:
+    """Serialise the live Config back to TOML (save_settings parity)."""
+    return dumps_toml(_config_to_dict(cfg))

@@ -131,6 +131,19 @@ class GbpParams:
     grid_cell_size: float = 0.0
     grid_capacity: int = 16
     collision_partners: int = 8
+    # Largest robot radius in the scenario (builder-derived). The collision
+    # grid's search radius must cover the largest possible overlapping pair
+    # (d < radius_i + radius_j), which is unrelated to the comms radius — the
+    # collision stencil uses 2 * max_robot_radius, never comms_radius.
+    max_robot_radius: float = 1.0
+
+    # Schedule lowering: by default the iteration schedule unrolls at trace
+    # time (fastest runtime; HLO grows linearly with schedule length — a
+    # 50i+10e Circle-Experiment schedule costs ~2x the compile time of a
+    # 10i+10e one). Setting `scan_schedule` lowers contiguous runs of
+    # identical (internal, external) flags to one lax.scan each, bounding
+    # HLO size at the cost of a scan carry per run.
+    scan_schedule: bool = False
 
     @property
     def use_grid(self) -> bool:
@@ -222,9 +235,11 @@ class SimState:
     # --- bookkeeping -------------------------------------------------------
     tick: jax.Array          # [] i32 — FixedUpdate counter
     rng: jax.Array           # jax PRNG key
-    # device-resident position log (the PositionTracker ring buffer,
-    # tracking.rs:48-110, kept on device so host sync is once per run):
+    # device-resident position/velocity logs (the PositionTracker and
+    # VelocityTracker ring buffers, tracking.rs:48-110,156-203, kept on
+    # device so host sync is once per run):
     pos_log: jax.Array       # [L, R, 2] f32; NaN where robot inactive
+    vel_log: jax.Array       # [L, R, 2] f32; NaN where robot inactive
     log_head: jax.Array      # [] i32 — total samples written (ring index)
     # message counters [R, 4]: internal/external x sent/received
     msg_counts: jax.Array
@@ -237,6 +252,10 @@ class SimState:
     # grid mode a per-robot partner-id table [R, P] (-1 empty) instead
     rr_overlap: jax.Array      # [R, R] bool (dense) / [R, 0] (grid)
     rr_partner: jax.Array      # [R, P] i32 (grid)   / [R, 0] (dense)
+    # overlap partners beyond the P-slot table (grid mode): nonzero means
+    # collision-event counts are lower bounds for this run (analogous to
+    # grid_overflow for bucket capacity)
+    rr_partner_overflow: jax.Array  # [] i32
     re_overlap: jax.Array      # [R] bool
     # collision event records (export.rs:171-214): ring buffers of
     # (a, b, min_x, min_y, max_x, max_y, tick) / (robot, aabb..., tick)
@@ -374,6 +393,7 @@ def init_state(
         tick=jnp.asarray(0, dtype=jnp.int32),
         rng=jax.random.PRNGKey(seed),
         pos_log=jnp.full((params.log_capacity, R, 2), jnp.nan, dtype=jnp.float32),
+        vel_log=jnp.full((params.log_capacity, R, 2), jnp.nan, dtype=jnp.float32),
         log_head=jnp.asarray(0, dtype=jnp.int32),
         msg_counts=izeros(R, 4),
         rr_collisions=jnp.asarray(0, dtype=jnp.int32),
@@ -386,6 +406,7 @@ def init_state(
             -1,
             dtype=jnp.int32,
         ),
+        rr_partner_overflow=jnp.asarray(0, dtype=jnp.int32),
         re_overlap=jnp.zeros((R,), dtype=bool),
         rr_events=jnp.zeros((params.collision_log_capacity, 7), dtype=jnp.float32),
         rr_event_count=jnp.asarray(0, dtype=jnp.int32),

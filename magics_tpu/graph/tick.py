@@ -859,13 +859,40 @@ def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
             r_tile=params.pallas_r_tile, interpret=params.pallas_interpret,
         )
 
-    for internal_flag, external_flag in params.schedule:
+    def slot(state, internal_flag, external_flag):
         if internal_flag:
             state = internal_factor_pass(state, sdf, params)
             state = internal_variable_pass(state, params)
         if external_flag:
             state = external_factor_pass(state, params)
             state = external_variable_pass(state, params)
+        return state
+
+    if params.scan_schedule:
+        # Compress contiguous identical-flag runs into one lax.scan each:
+        # HLO size becomes O(#distinct runs) instead of O(schedule length),
+        # trading some runtime (the scan carry forces whole-state copies at
+        # run boundaries) for bounded compile times on long schedules.
+        runs: list[list] = []
+        for flags in params.schedule:
+            if runs and runs[-1][0] == flags:
+                runs[-1][1] += 1
+            else:
+                runs.append([flags, 1])
+        for (i_flag, e_flag), n in runs:
+            if not (i_flag or e_flag):
+                continue
+            if n == 1:
+                state = slot(state, i_flag, e_flag)
+            else:
+                state, _ = jax.lax.scan(
+                    lambda st, _: (slot(st, i_flag, e_flag), None),
+                    state, None, length=n,
+                )
+        return state
+
+    for internal_flag, external_flag in params.schedule:
+        state = slot(state, internal_flag, external_flag)
     return state
 
 
@@ -1053,10 +1080,14 @@ def update_collisions_grid(
 
     R = state.pos.shape[0]
     P = state.rr_partner.shape[1]
+    # The collision stencil must cover the largest overlapping pair
+    # (d < radius_i + radius_j <= 2 * max_robot_radius) — NOT the comms
+    # radius, which is an unrelated parameter and may be smaller. A
+    # dedicated (smaller) search radius also shrinks the stencil.
     spec = G.make_grid_spec(
         (params.world_width, params.world_height),
         params.grid_cell_size,
-        params.comms_radius,
+        2.0 * params.max_robot_radius,
         params.grid_capacity,
     )
     cell, bucket = G.build_grid(spec, state.pos, state.active)
@@ -1067,10 +1098,14 @@ def update_collisions_grid(
     rsum = state.radius[:, None] + state.radius[safe]
     overlap = cand_mask & (d2 < rsum * rsum)                 # [R, M]
 
-    # current partner table: the P lowest overlapping ids
+    # current partner table: the P lowest overlapping ids. Partners beyond P
+    # are dropped — counted in rr_partner_overflow so truncation is visible
+    # (event counts are exact only while this stays 0).
     key = jnp.where(overlap, cand_idx, R)
     cur = jnp.sort(key, axis=1)[:, :P]
     cur = jnp.where(cur < R, cur, -1).astype(jnp.int32)
+    n_overlap = jnp.sum(overlap, axis=1).astype(jnp.int32)   # [R]
+    dropped = jnp.sum(jnp.maximum(n_overlap - P, 0))
 
     prev = state.rr_partner
     is_new = (cur >= 0) & ~jnp.any(cur[:, :, None] == prev[:, None, :], axis=-1)
@@ -1082,6 +1117,7 @@ def update_collisions_grid(
         rr_partner=cur,
         rr_collisions=state.rr_collisions + new_events,
         rr_count=state.rr_count + jnp.sum(is_new, axis=1).astype(jnp.int32),
+        rr_partner_overflow=state.rr_partner_overflow + dropped,
     )
 
     C = state.rr_events.shape[0]
@@ -1177,19 +1213,24 @@ def step(
 
 
 def log_positions(state: SimState, params: GbpParams) -> SimState:
-    """Sample positions into the on-device ring buffer (tracking.rs:48-110)."""
+    """Sample positions + velocities into the on-device ring buffers
+    (the PositionTracker/VelocityTracker systems, tracking.rs:48-110,156-203;
+    the velocity sample is the current variable's estimated velocity — the
+    quantity that drives the robot's transform in update_prior_current)."""
     if params.log_every <= 0 or params.log_capacity <= 0:
         return state
     L = params.log_capacity
     do_log = (state.tick % params.log_every) == 0
     idx = jnp.where(do_log, state.log_head % L, 0)
-    sample = jnp.where(
-        state.active[:, None], state.pos, jnp.nan
-    ).astype(jnp.float32)
+    alive = state.active[:, None]
+    sample = jnp.where(alive, state.pos, jnp.nan).astype(jnp.float32)
+    vel = jnp.where(alive, state.belief_mean[:, 0, 2:4], jnp.nan).astype(jnp.float32)
     row = jnp.where(do_log, sample, state.pos_log[idx])
+    vrow = jnp.where(do_log, vel, state.vel_log[idx])
     return replace(
         state,
         pos_log=state.pos_log.at[idx].set(row),
+        vel_log=state.vel_log.at[idx].set(vrow),
         log_head=state.log_head + do_log.astype(jnp.int32),
     )
 

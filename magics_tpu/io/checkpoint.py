@@ -6,6 +6,13 @@ snapshot (export.rs). With the whole simulation as one pytree of dense
 arrays, checkpointing is a single npz write; `save` captures every SimState
 leaf plus the tick/PRNG, `load` restores it bit-exactly, so a resumed run
 continues deterministically.
+
+Compatibility: fields added to SimState after a checkpoint was written are
+restored from `_FIELD_DEFAULTS` (keyed on field name, given the robot count
+R from the checkpoint), so old checkpoints keep loading. The collision
+hysteresis layout depends on grid mode ([R, R] overlap matrix dense vs
+[R, P] partner table grid) — `save` records the mode in metadata and `load`
+raises a clear error when resuming under mismatched params.
 """
 
 from __future__ import annotations
@@ -17,20 +24,38 @@ from pathlib import Path
 import numpy as np
 import jax.numpy as jnp
 
-from magics_tpu.graph.state import SimState
+from magics_tpu.graph.state import GbpParams, SimState
 
 _FORMAT_VERSION = 1
 
+# Defaults for fields that may be absent in older checkpoints:
+# name -> ((R, data) -> np.ndarray), where `data` is the open npz archive.
+# Keep entries forever; never remove.
+_FIELD_DEFAULTS = {
+    "rr_partner": lambda R, data: np.zeros((R, 0), dtype=np.int32),
+    "rr_partner_overflow": lambda R, data: np.asarray(0, dtype=np.int32),
+    "vel_log": lambda R, data: np.full_like(data["pos_log"], np.nan),
+}
 
-def save(path: str | Path, state: SimState, *, meta: dict | None = None) -> None:
+
+def save(
+    path: str | Path,
+    state: SimState,
+    *,
+    params: GbpParams | None = None,
+    meta: dict | None = None,
+) -> None:
     """Write the full SimState (and optional JSON-able metadata) to npz."""
     arrays = {
         f.name: np.asarray(getattr(state, f.name))
         for f in dataclasses.fields(state)
     }
+    header: dict = {"version": _FORMAT_VERSION, **(meta or {})}
+    if params is not None:
+        header["use_grid"] = bool(params.use_grid)
+        header["collision_partners"] = int(params.collision_partners)
     arrays["__meta__"] = np.frombuffer(
-        json.dumps({"version": _FORMAT_VERSION, **(meta or {})}).encode(),
-        dtype=np.uint8,
+        json.dumps(header).encode(), dtype=np.uint8
     )
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -38,14 +63,46 @@ def save(path: str | Path, state: SimState, *, meta: dict | None = None) -> None
         np.savez_compressed(fh, **arrays)
 
 
-def load(path: str | Path) -> tuple[SimState, dict]:
-    """Read (state, meta) back. Arrays are restored with their saved dtypes."""
+def load(
+    path: str | Path, *, params: GbpParams | None = None
+) -> tuple[SimState, dict]:
+    """Read (state, meta) back. Arrays are restored with their saved dtypes;
+    fields missing from older checkpoints take `_FIELD_DEFAULTS`. Pass
+    `params` to validate that the checkpoint's collision-grid mode matches
+    the params it will resume under (a mismatch silently corrupts the
+    hysteresis tables otherwise)."""
     with np.load(Path(path)) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
         if meta.get("version") != _FORMAT_VERSION:
             raise ValueError(f"unsupported checkpoint version: {meta.get('version')}")
-        kwargs = {
-            f.name: jnp.asarray(data[f.name])
-            for f in dataclasses.fields(SimState)
-        }
-    return SimState(**kwargs), meta
+        R = int(data["active"].shape[0])
+        kwargs = {}
+        for f in dataclasses.fields(SimState):
+            if f.name in data.files:
+                kwargs[f.name] = jnp.asarray(data[f.name])
+            elif f.name in _FIELD_DEFAULTS:
+                kwargs[f.name] = jnp.asarray(_FIELD_DEFAULTS[f.name](R, data))
+            else:
+                raise KeyError(
+                    f"checkpoint {path} lacks SimState field {f.name!r} and no "
+                    "compatibility default is registered"
+                )
+    state = SimState(**kwargs)
+    if params is not None:
+        ckpt_grid = meta.get("use_grid")
+        if ckpt_grid is None:
+            # legacy checkpoint without recorded mode: infer from shapes
+            ckpt_grid = state.rr_overlap.shape[1] == 0 and R > 0
+        if bool(ckpt_grid) != params.use_grid:
+            raise ValueError(
+                f"checkpoint was written in {'grid' if ckpt_grid else 'dense'} "
+                f"collision mode but params request "
+                f"{'grid' if params.use_grid else 'dense'} — resume under the "
+                "original mode (grid_cell_size setting)"
+            )
+        if params.use_grid and state.rr_partner.shape[1] != params.collision_partners:
+            raise ValueError(
+                f"checkpoint partner-table width {state.rr_partner.shape[1]} != "
+                f"params.collision_partners {params.collision_partners}"
+            )
+    return state, meta

@@ -93,6 +93,9 @@ def build_scenario(
         sdf = np.ones((8, 8))
     Wmax = max(len(s.waypoints) for s in specs)
 
+    param_overrides.setdefault(
+        "max_robot_radius", float(max(s.radius for s in specs))
+    )
     params = GbpParams(
         n_vars=V,
         n_slots=n_slots,

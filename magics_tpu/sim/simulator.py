@@ -33,6 +33,7 @@ class RobotLog:
     radius: float
     waypoints: np.ndarray          # [W, 4]
     positions: list                # [(t, x, y)]
+    velocities: list = dataclasses.field(default_factory=list)  # [(t, vx, vy)]
     started_at: float = 0.0
     finished_at: float | None = None
     planning_strategy: str = "only-local"
@@ -210,19 +211,33 @@ class Simulator:
             )
         return self._planner
 
+    def save_settings(self, path=None) -> Path:
+        """Persist the live Config back to the scenario's config.toml (the
+        reference's save_settings, simulation_loader.rs:742-763)."""
+        from magics_tpu.config.schema import config_to_toml
+
+        if path is None:
+            if self.scenario.path is None:
+                raise ValueError("scenario has no source directory; pass a path")
+            path = Path(self.scenario.path) / "config.toml"
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(config_to_toml(self.cfg))
+        return path
+
     def save_checkpoint(self, path) -> None:
         """Write the device state + host metadata (io/checkpoint.py)."""
         from magics_tpu.io import checkpoint as CK
 
-        CK.save(path, self.state, meta={"scenario": self.scenario.name,
-                                        "seed": self.seed})
+        CK.save(path, self.state, params=self.params,
+                meta={"scenario": self.scenario.name, "seed": self.seed})
 
     def resume(self, path) -> None:
         """Restore a checkpoint written by `save_checkpoint` for the same
         scenario; the run continues deterministically from the saved tick."""
         from magics_tpu.io import checkpoint as CK
 
-        state, meta = CK.load(path)
+        state, meta = CK.load(path, params=self.params)
         if meta.get("scenario") not in (None, self.scenario.name):
             raise ValueError(
                 f"checkpoint is for scenario {meta.get('scenario')!r}, "
@@ -288,9 +303,11 @@ class Simulator:
         }
 
     def _harvest_log(self, state) -> None:
-        """Unroll the on-device position ring buffer into per-robot series."""
+        """Unroll the on-device position/velocity ring buffers into per-robot
+        series (the PositionTracker/VelocityTracker samples)."""
         head = int(np.asarray(state.log_head))
         log = np.asarray(state.pos_log)  # [L, R, 2]
+        vlog = np.asarray(state.vel_log)
         L = log.shape[0]
         n = min(head, L)
         first = head - n  # sample index of the oldest retained row
@@ -300,11 +317,15 @@ class Simulator:
         completed = np.asarray(state.completed)
         for i, rl in enumerate(self.logs):
             rl.positions = []
+            rl.velocities = []
             for m, row in enumerate(order):
                 x, y = log[row, i]
                 if not np.isnan(x):
                     t = (first + m) * sample_dt
                     rl.positions.append((t, float(x), float(y)))
+                    vx, vy = vlog[row, i]
+                    if not np.isnan(vx):
+                        rl.velocities.append((t, float(vx), float(vy)))
             if completed[i] and finished_at[i] >= 0:
                 rl.finished_at = float(finished_at[i])
 
@@ -320,17 +341,16 @@ class Simulator:
         robots = {}
         for i, log in enumerate(self.logs):
             positions = [[x, y] for (_, x, y) in log.positions]
-            velocities = []
-            for (t0, x0, y0), (t1, x1, y1) in zip(log.positions, log.positions[1:]):
-                dt = t1 - t0
-                velocities.append(
-                    {
-                        # bevy Vec3 layout: ground plane is [0] and [2]
-                        "velocity": [(x1 - x0) / dt, 0.0, (y1 - y0) / dt],
-                        "timestamp": t1,
-                        "measured_over": {"secs": int(dt), "nanos": int((dt % 1) * 1e9)},
-                    }
-                )
+            dt = self._sample_interval_ticks * self.dt
+            velocities = [
+                {
+                    # bevy Vec3 layout: ground plane is [0] and [2]
+                    "velocity": [vx, 0.0, vy],
+                    "timestamp": t,
+                    "measured_over": {"secs": int(dt), "nanos": int((dt % 1) * 1e9)},
+                }
+                for (t, vx, vy) in log.velocities
+            ]
             finished = log.finished_at
             robots[str(i)] = {
                 "radius": log.radius,

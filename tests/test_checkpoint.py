@@ -58,3 +58,50 @@ def test_resume_is_deterministic(tmp_path):
         a = np.asarray(getattr(s_full, f.name))
         b = np.asarray(getattr(s_resumed, f.name))
         np.testing.assert_array_equal(a, b, err_msg=f.name)
+
+
+def test_load_pre_partner_table_checkpoint(tmp_path):
+    """Checkpoints written before rr_partner/rr_partner_overflow existed must
+    still load, with compatibility defaults (ADVICE r1, io/checkpoint.py)."""
+    import io as _io
+    import json
+    import zipfile
+
+    specs = circle_formation(3, circle_radius=20.0, target_speed=8.0)
+    params, state, sdf = build_scenario(
+        specs, target_speed=8.0, planning_horizon=2.0, internal=2, external=0,
+        n_slots=2,
+    )
+    p = tmp_path / "old.npz"
+    CK.save(p, state, params=params)
+
+    # strip the new fields to simulate an old checkpoint
+    stripped = tmp_path / "stripped.npz"
+    with zipfile.ZipFile(p) as zin, zipfile.ZipFile(stripped, "w") as zout:
+        for name in zin.namelist():
+            if name in ("rr_partner.npy", "rr_partner_overflow.npy"):
+                continue
+            zout.writestr(name, zin.read(name))
+
+    restored, _ = CK.load(stripped, params=params)
+    assert restored.rr_partner.shape == (state.n_robots, 0)
+    assert int(restored.rr_partner_overflow) == 0
+
+
+def test_grid_mode_mismatch_rejected(tmp_path):
+    """Resuming a dense-mode checkpoint under grid params (or vice versa)
+    must fail loudly, not corrupt hysteresis state."""
+    import dataclasses as dc
+    import pytest
+
+    specs = circle_formation(3, circle_radius=20.0, target_speed=8.0)
+    params, state, sdf = build_scenario(
+        specs, target_speed=8.0, planning_horizon=2.0, internal=2, external=0,
+        n_slots=2,
+    )
+    p = tmp_path / "dense.npz"
+    CK.save(p, state, params=params)
+
+    grid_params = dc.replace(params, grid_cell_size=10.0)
+    with pytest.raises(ValueError, match="collision mode"):
+        CK.load(p, params=grid_params)

@@ -73,3 +73,29 @@ def test_distance_transform():
     d = distance_transform(ob, 2.0)
     assert d[16, 16] == 0.0
     assert abs(d[16, 20] - 8.0) < 1e-9
+
+
+def test_config_toml_roundtrip():
+    """config_to_toml must re-emit a document that parses back to the same
+    typed Config (save_settings parity, simulation_loader.rs:742-763)."""
+    import dataclasses
+    from pathlib import Path
+
+    from magics_tpu.config.schema import Config, config_to_toml
+
+    src = Path(REF_SCENARIOS) / "Circle Experiment" / "config.toml"
+    cfg = Config.from_file(src)
+    text = config_to_toml(cfg)
+    cfg2 = Config.from_toml(text)
+
+    def strip_raw(c):
+        return dataclasses.replace(c, raw={})
+
+    assert strip_raw(cfg) == strip_raw(cfg2)
+
+    # editing a live value must survive the round trip
+    cfg.robot.target_speed = 7.5
+    cfg.gbp.iteration_schedule.internal = 13
+    cfg3 = Config.from_toml(config_to_toml(cfg))
+    assert cfg3.robot.target_speed == 7.5
+    assert cfg3.gbp.iteration_schedule.internal == 13

@@ -120,3 +120,76 @@ def test_grid_tick_matches_dense_exactly():
         dense_set |= set(np.nonzero(dense_partners[:, i])[0].tolist())
         grid_set = set(int(j) for j in grid_partners[i] if j >= 0)
         assert dense_set == grid_set, f"robot {i} overlap partners diverged"
+
+
+def _two_robot_specs(d):
+    """Two stationary-ish robots `d` apart (radius 2.0 each)."""
+    from magics_tpu.sim.builder import RobotSpec
+
+    specs = []
+    for x in (0.0, d):
+        start = np.array([x, 0.0, 0.0, 0.0])
+        # goal far enough that the mission is not completed instantly
+        goal = np.array([x, 20.0, 0.0, 0.0])
+        specs.append(
+            RobotSpec(start=start, waypoints=np.stack([start, goal]), radius=2.0)
+        )
+    return specs
+
+
+def test_grid_collision_radius_independent_of_comms():
+    """Colliding pairs outside the comms radius must still be counted: the
+    collision grid's stencil derives from 2*max_robot_radius, not from
+    params.comms_radius (ADVICE r1, tick.py:update_collisions_grid)."""
+    # robots at distance 3.0 overlap (radius sum 4.0) but are far outside the
+    # 1.0 comms radius; with cell 1.0 a comms-radius stencil (reach 1) would
+    # never see the pair.
+    specs = _two_robot_specs(3.0)
+    params, state, sdf = build_scenario(
+        specs,
+        target_speed=1.0,
+        planning_horizon=2.0,
+        comms_radius=1.0,
+        internal=1,
+        external=0,
+        n_slots=2,
+        dtype=jnp.float64,
+        grid_cell_size=1.0,
+        grid_capacity=8,
+        collision_partners=4,
+    )
+    assert params.max_robot_radius == 2.0
+    state = T.step(state, sdf, params)
+    assert int(state.rr_collisions) == 1
+    assert int(state.rr_partner_overflow) == 0
+
+
+def test_partner_table_overflow_counter():
+    """More simultaneous overlaps than collision_partners slots must be
+    visible via rr_partner_overflow (ADVICE r1, state.py collision_partners)."""
+    from magics_tpu.sim.builder import RobotSpec
+
+    R = 6
+    specs = []
+    for i in range(R):
+        start = np.array([0.05 * i, 0.0, 0.0, 0.0])
+        goal = np.array([0.05 * i, 20.0, 0.0, 0.0])
+        specs.append(
+            RobotSpec(start=start, waypoints=np.stack([start, goal]), radius=2.0)
+        )
+    params, state, sdf = build_scenario(
+        specs,
+        target_speed=1.0,
+        planning_horizon=2.0,
+        comms_radius=1.0,
+        internal=1,
+        external=0,
+        n_slots=8,
+        dtype=jnp.float64,
+        grid_cell_size=1.0,
+        grid_capacity=16,
+        collision_partners=2,  # 5 simultaneous overlaps per robot
+    )
+    state = T.step(state, sdf, params)
+    # each robot overlaps 5 others but records only 2: 3 dropped each
+    assert int(state.rr_partner_overflow) == R * 3

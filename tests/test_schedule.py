@@ -77,3 +77,40 @@ def test_counts_always_match():
                 assert len(s) == max(internal, external)
                 assert sum(i for (i, _) in s) == internal, (kind, internal, external)
                 assert sum(e for (_, e) in s) == external, (kind, internal, external)
+
+
+def test_scan_schedule_matches_unrolled():
+    """`scan_schedule=True` (lax.scan over identical-flag runs) must be
+    bit-identical to the trace-time unroll (ADVICE r1, tick.py:iterate_gbp)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from magics_tpu.graph import tick as T
+    from magics_tpu.sim.builder import build_scenario, circle_formation
+
+    specs = circle_formation(6, circle_radius=20.0, target_speed=8.0)
+    params, state, sdf = build_scenario(
+        specs, target_speed=8.0, planning_horizon=2.0, comms_radius=30.0,
+        internal=6, external=3, n_slots=4, dtype=jnp.float64,
+    )
+    scan_params = dc.replace(params, scan_schedule=True)
+
+    s_unroll, s_scan = state, state
+    for _ in range(8):
+        s_unroll = T.step(s_unroll, sdf, params)
+        s_scan = T.step(s_scan, sdf, scan_params)
+
+    import dataclasses
+
+    # XLA fuses/reassociates differently inside a scan body than in the
+    # unrolled straight-line program, so equality is numerical (1e-12-level),
+    # not bitwise; integer/boolean state must still match exactly.
+    for f in dataclasses.fields(s_unroll):
+        a = np.asarray(getattr(s_unroll, f.name))
+        b = np.asarray(getattr(s_scan, f.name))
+        if a.dtype.kind in "biu":
+            np.testing.assert_array_equal(a, b, err_msg=f.name)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-9, err_msg=f.name)

@@ -49,6 +49,10 @@ def main() -> None:
         sdf=np.ones((128, 128)),
         dtype=jnp.float32,
         despawn_on_final_waypoint=False,
+        # the fused Pallas slot kernel carries the internal GBP slots
+        # (kernels/gbp_slot.py); ~2x over the XLA lowering at this scale
+        # (bench/profile_tick.py)
+        use_pallas=True,
     )
     V = params.n_vars
     K = params.n_slots

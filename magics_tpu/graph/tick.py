@@ -189,40 +189,28 @@ def update_connectivity(state: SimState, params: GbpParams) -> SimState:
     safe_idx = jnp.clip(state.nbr_idx, 0, R - 1)
     keep = state.nbr_mask & in_range[rows, safe_idx]
 
-    # connected matrix from kept slots (scatter into R+1 cols, last is junk)
-    cols = jnp.where(keep, state.nbr_idx, R)
-    conn = (
-        jnp.zeros((R, R + 1), dtype=jnp.int32)
-        .at[rows, cols]
-        .max(keep.astype(jnp.int32))[:, :R]
-        .astype(bool)
-    )
+    # connected matrix from kept slots — compare-reduce, not scatter
+    kept_ids = jnp.where(keep, state.nbr_idx, -1)
+    conn = jnp.any(
+        kept_ids[:, :, None] == jnp.arange(R, dtype=jnp.int32)[None, None, :],
+        axis=1,
+    )  # [R, R]
 
     new_pair = in_range & ~conn  # [R, R]
 
-    # rank new neighbours in ascending id order (BTreeSet iteration order)
-    new_rank = jnp.cumsum(new_pair, axis=1) - 1          # [R, R]
-    n_free_slots = jnp.sum(~keep, axis=1)                 # [R]
-
-    # m-th free slot (ascending k): argsort puts free slots first
-    slot_order = jnp.argsort(
-        jnp.where(~keep, jnp.arange(K)[None, :], K + jnp.arange(K)[None, :]), axis=1
-    )  # [R, K]
-
-    assignable = new_pair & (new_rank < n_free_slots[:, None]) & (new_rank < K)
-    target_slot = jnp.take_along_axis(
-        slot_order, jnp.clip(new_rank, 0, K - 1), axis=1
-    )  # [R, R] — slot for each candidate j
-
-    scat_slot = jnp.where(assignable, target_slot, K)
-    nbr_idx_p = jnp.concatenate(
-        [jnp.where(keep, state.nbr_idx, -1), jnp.full((R, 1), -1, jnp.int32)], axis=1
-    )
-    j_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :], (R, R))
-    nbr_idx_new = nbr_idx_p.at[rows, scat_slot].set(
-        jnp.where(assignable, j_ids, -1), mode="drop"
-    )[:, :K]
-    # re-derive: slots that are kept OR newly assigned
+    # Assign new neighbours (ascending id — the reference's BTreeSet
+    # iteration order) to free slots (ascending k). Formulated as
+    # rank/argmax/gather: a scatter with [R, R] updates serialises on TPU
+    # (~14 ms at R=1024 vs ~0.9 ms for this, bench/profile_tick.py).
+    rank = jnp.cumsum(new_pair, axis=1) - 1               # [R, R]
+    cand = []
+    for m in range(K):
+        sel = new_pair & (rank == m)
+        cand.append(jnp.where(jnp.any(sel, axis=1), jnp.argmax(sel, axis=1), -1))
+    cand_id = jnp.stack(cand, axis=1).astype(jnp.int32)   # [R, K] m-th new id
+    free_rank = jnp.cumsum(~keep, axis=1) - 1             # [R, K]
+    new_id = jnp.take_along_axis(cand_id, jnp.clip(free_rank, 0, K - 1), axis=1)
+    nbr_idx_new = jnp.where(~keep & (free_rank >= 0), new_id, -1)
     nbr_idx_new = jnp.where(keep, state.nbr_idx, nbr_idx_new)
     return _finish_connectivity(state, keep, nbr_idx_new)
 
@@ -264,27 +252,19 @@ def update_connectivity_grid(state: SimState, params: GbpParams) -> SimState:
     new_pair = in_range & ~connected
 
     # assign new neighbours to free slots in ascending-id order (the dense
-    # path's BTreeSet order); sort keys: candidate id where new, else R
+    # path's BTreeSet order): after sorting the candidate keys, the m-th new
+    # neighbour is simply sorted_key[:, m], so each free slot (free-rank m)
+    # gathers it directly — no scatter (TPU scatters with [R, M] updates
+    # serialise; see the dense path / bench/profile_tick.py).
     key = jnp.where(new_pair, cand_idx, R)
     sorted_key = jnp.sort(key, axis=1)                       # [R, M]
-    sorted_new = sorted_key < R
-    new_rank = jnp.cumsum(sorted_new, axis=1) - 1
-    n_free = jnp.sum(~keep, axis=1)
-    slot_order = jnp.argsort(
-        jnp.where(~keep, jnp.arange(K)[None, :], K + jnp.arange(K)[None, :]), axis=1
+    M = sorted_key.shape[1]
+    free_rank = jnp.cumsum(~keep, axis=1) - 1                # [R, K]
+    new_id = jnp.take_along_axis(
+        sorted_key, jnp.clip(free_rank, 0, M - 1), axis=1
     )
-    assignable = sorted_new & (new_rank < n_free[:, None]) & (new_rank < K)
-    target_slot = jnp.take_along_axis(
-        slot_order, jnp.clip(new_rank, 0, K - 1), axis=1
-    )
-    scat_slot = jnp.where(assignable, target_slot, K)
-    rows = jnp.arange(R)[:, None]
-    base = jnp.concatenate(
-        [jnp.where(keep, state.nbr_idx, -1), jnp.full((R, 1), -1, jnp.int32)], axis=1
-    )
-    nbr_idx_new = base.at[rows, scat_slot].set(
-        jnp.where(assignable, sorted_key, -1).astype(jnp.int32), mode="drop"
-    )[:, :K]
+    valid = ~keep & (free_rank >= 0) & (free_rank < M) & (new_id < R)
+    nbr_idx_new = jnp.where(valid, new_id, -1).astype(jnp.int32)
     nbr_idx_new = jnp.where(keep, state.nbr_idx, nbr_idx_new)
     return _finish_connectivity(state, keep, nbr_idx_new)
 

@@ -94,7 +94,12 @@ def to_hot(state: SimState, params: GbpParams, r_tile: int) -> dict:
 
 
 def _beliefs_to_state(state: SimState, hot: dict) -> SimState:
-    """Copy hot belief + snapshot planes back into the normal layout."""
+    """Copy hot belief + snapshot planes back into the normal layout, plus
+    the internal factor->variable inboxes: `external_variable_pass` re-sums
+    the variable inboxes (prior + dyn/obs/trk messages + external inbox), so
+    those planes must reflect the internal slots run so far — copying only
+    beliefs leaves it summing stale messages (diverged from the XLA path
+    at the first mixed internal/external slot)."""
     R = state.n_robots
 
     def u3(x):  # [4, V, R] -> [R, V, 4]
@@ -102,6 +107,12 @@ def _beliefs_to_state(state: SimState, hot: dict) -> SimState:
 
     def u4(x):
         return jnp.transpose(x[..., :R], (3, 2, 0, 1))
+
+    def u3s(x):  # [2, 4, V1, R] -> [R, V1, 2, 4]
+        return jnp.transpose(x[..., :R], (3, 2, 0, 1))
+
+    def u4s(x):  # [2, 4, 4, V1, R] -> [R, V1, 2, 4, 4]
+        return jnp.transpose(x[..., :R], (4, 3, 0, 1, 2))
 
     return replace(
         state,
@@ -111,6 +122,12 @@ def _beliefs_to_state(state: SimState, hot: dict) -> SimState:
         snap_eta=u3(hot["snap_eta"]),
         snap_lam=u4(hot["snap_lam"]),
         snap_mu=u3(hot["snap_mu"]),
+        dyn_f2v_eta=u3s(hot["dyn_f2v_eta"]),
+        dyn_f2v_lam=u4s(hot["dyn_f2v_lam"]),
+        obs_f2v_eta=u3(hot["obs_f2v_eta"]),
+        obs_f2v_lam=u4(hot["obs_f2v_lam"]),
+        trk_f2v_eta=u3(hot["trk_f2v_eta"]),
+        trk_f2v_lam=u4(hot["trk_f2v_lam"]),
     )
 
 

@@ -53,6 +53,12 @@ def main(argv=None) -> int:
         metavar="PNG",
         help="write a trajectory-overview image of the finished run",
     )
+    p.add_argument(
+        "--player",
+        metavar="HTML",
+        help="write an interactive playback viewer of the finished run "
+        "(viz/player.py — the egui UI / visualiser-plugin equivalent)",
+    )
     p.add_argument("--checkpoint", metavar="PATH", help="write checkpoints here")
     p.add_argument(
         "--checkpoint-every",
@@ -219,6 +225,13 @@ def main(argv=None) -> int:
         sim.export(args.export)
         if not args.quiet:
             print(f"exported to {args.export}", file=sys.stderr)
+
+    if args.player:
+        from magics_tpu.viz.player import build_player
+
+        Path(args.player).write_text(build_player(sim.export()))
+        if not args.quiet:
+            print(f"player: {args.player}", file=sys.stderr)
 
     if args.record or args.snapshot:
         from magics_tpu.env.sdf import env_to_image

@@ -95,6 +95,14 @@ class GbpParams:
     # off for swarm-scale benchmarking runs
     collision_log_capacity: int = 0
 
+    # belief visualisation log (0 = disabled): at the log_every cadence,
+    # store every variable's position mean + marginal position covariance
+    # for offline playback — the data the reference's factorgraph and
+    # uncertainty visualisers read live from the ECS
+    # (planner/visualiser/factorgraphs.rs, uncertainty.rs). [L, R, V, 2+3]
+    # f32 — experiment scale only, keep off for swarm benches.
+    viz_log_capacity: int = 0
+
     # [robot]
     target_speed: float = 4.0
     planning_horizon_seconds: float = 5.0
@@ -241,6 +249,9 @@ class SimState:
     pos_log: jax.Array       # [L, R, 2] f32; NaN where robot inactive
     vel_log: jax.Array       # [L, R, 2] f32; NaN where robot inactive
     log_head: jax.Array      # [] i32 — total samples written (ring index)
+    # belief visualisation ring buffers (empty [0, ...] when disabled):
+    viz_mean: jax.Array      # [Lv, R, V, 2] f32 — variable position means
+    viz_cov: jax.Array       # [Lv, R, V, 3] f32 — (cov_xx, cov_xy, cov_yy)
     # message counters [R, 4]: internal/external x sent/received
     msg_counts: jax.Array
     # collision counters (hysteresis-counted events, collisions.rs:146-227)
@@ -395,6 +406,12 @@ def init_state(
         pos_log=jnp.full((params.log_capacity, R, 2), jnp.nan, dtype=jnp.float32),
         vel_log=jnp.full((params.log_capacity, R, 2), jnp.nan, dtype=jnp.float32),
         log_head=jnp.asarray(0, dtype=jnp.int32),
+        viz_mean=jnp.full(
+            (params.viz_log_capacity, R, V, 2), jnp.nan, dtype=jnp.float32
+        ),
+        viz_cov=jnp.full(
+            (params.viz_log_capacity, R, V, 3), jnp.nan, dtype=jnp.float32
+        ),
         msg_counts=izeros(R, 4),
         rr_collisions=jnp.asarray(0, dtype=jnp.int32),
         re_collisions=jnp.asarray(0, dtype=jnp.int32),

@@ -1207,12 +1207,37 @@ def log_positions(state: SimState, params: GbpParams) -> SimState:
     vel = jnp.where(alive, state.belief_mean[:, 0, 2:4], jnp.nan).astype(jnp.float32)
     row = jnp.where(do_log, sample, state.pos_log[idx])
     vrow = jnp.where(do_log, vel, state.vel_log[idx])
-    return replace(
-        state,
+    updates = dict(
         pos_log=state.pos_log.at[idx].set(row),
         vel_log=state.vel_log.at[idx].set(vrow),
         log_head=state.log_head + do_log.astype(jnp.int32),
     )
+
+    # belief visualisation log: variable position means + marginal position
+    # covariance (the live data of visualiser/factorgraphs.rs and
+    # uncertainty.rs). The 2x2 position marginal of cov = inv(belief_lam) is
+    # stored as (xx, xy, yy).
+    Lv = state.viz_mean.shape[0]
+    if Lv > 0:
+        from magics_tpu.core.linalg import inv4_rowscaled
+
+        vidx = jnp.where(do_log, state.log_head % Lv, 0)
+        mean2 = state.belief_mean[..., :2].astype(jnp.float32)  # [R, V, 2]
+        # row-scaled inverse: the pinned endpoints carry precision 1e30,
+        # whose determinant overflows the plain cofactor inverse in f32
+        cov, _ = inv4_rowscaled(state.belief_lam)
+        cov3 = jnp.stack(
+            [cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]], axis=-1
+        ).astype(jnp.float32)
+        a2 = state.active[:, None, None]
+        mean2 = jnp.where(a2, mean2, jnp.nan)
+        cov3 = jnp.where(a2, cov3, jnp.nan)
+        mrow = jnp.where(do_log, mean2, state.viz_mean[vidx])
+        crow = jnp.where(do_log, cov3, state.viz_cov[vidx])
+        updates["viz_mean"] = state.viz_mean.at[vidx].set(mrow)
+        updates["viz_cov"] = state.viz_cov.at[vidx].set(crow)
+
+    return replace(state, **updates)
 
 
 def run_ticks(

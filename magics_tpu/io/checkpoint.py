@@ -35,6 +35,12 @@ _FIELD_DEFAULTS = {
     "rr_partner": lambda R, data: np.zeros((R, 0), dtype=np.int32),
     "rr_partner_overflow": lambda R, data: np.asarray(0, dtype=np.int32),
     "vel_log": lambda R, data: np.full_like(data["pos_log"], np.nan),
+    "viz_mean": lambda R, data: np.zeros(
+        (0, R, data["prior_mean"].shape[1], 2), dtype=np.float32
+    ),
+    "viz_cov": lambda R, data: np.zeros(
+        (0, R, data["prior_mean"].shape[1], 3), dtype=np.float32
+    ),
 }
 
 

@@ -48,6 +48,7 @@ class Simulator:
         dtype=jnp.float32,
         n_slots: int = 16,
         max_sim_time: float | None = None,
+        viz_log: bool | None = None,
     ):
         self.scenario = scenario
         cfg = scenario.config
@@ -183,6 +184,19 @@ class Simulator:
             # collision AABB recording materialises an [R^2, 7] scatter per
             # tick — keep it for experiment-scale runs, off for swarm scale
             collision_log_capacity=256 if len(specs) <= 256 else 0,
+            # belief log for the playback viewer's predicted-trajectory /
+            # uncertainty layers (visualiser/factorgraphs.rs, uncertainty.rs);
+            # experiment scale only unless explicitly requested
+            viz_log_capacity=(
+                min(
+                    int(self.max_sim_time * self.hz)
+                    // max(1, round(0.1 * self.hz))
+                    + 1,
+                    2000,
+                )
+                if (viz_log if viz_log is not None else len(specs) <= 128)
+                else 0
+            ),
             goal_areas=goal_areas,
         )
         self.env_dist = jnp.asarray(self.env_dist_np, dtype=dtype)
@@ -341,6 +355,7 @@ class Simulator:
         robots = {}
         for i, log in enumerate(self.logs):
             positions = [[x, y] for (_, x, y) in log.positions]
+            first_sample_at = log.positions[0][0] if log.positions else 0.0
             dt = self._sample_interval_ticks * self.dt
             velocities = [
                 {
@@ -354,6 +369,10 @@ class Simulator:
             finished = log.finished_at
             robots[str(i)] = {
                 "radius": log.radius,
+                # extra key (not in export.rs): anchors `positions` on the
+                # time axis for offline playback (viz/player.py); reference
+                # analysis scripts ignore unknown keys
+                "positions_start": first_sample_at,
                 "positions": positions,
                 "velocities": velocities,
                 "collisions": {"robots": int(rr[i]), "environment": int(re[i])},
@@ -386,6 +405,7 @@ class Simulator:
                 "robot_b": int(e[1]),
                 "aabbs": [{"mins": [float(e[2]), float(e[3])],
                            "maxs": [float(e[4]), float(e[5])]}],
+                "time": float(e[6]) * self.dt,  # extra key for playback
             }
             for e in rr_ev
         ]
@@ -395,6 +415,7 @@ class Simulator:
                 "obstacle": 0,
                 "aabbs": [{"mins": [float(e[1]), float(e[2])],
                            "maxs": [float(e[3]), float(e[4])]}],
+                "time": float(e[5]) * self.dt,  # extra key for playback
             }
             for e in re_ev
         ]
@@ -421,6 +442,9 @@ class Simulator:
             "scenario": self.scenario.name,
             "makespan": self.final_tick * self.dt,
             "delta_t": self.dt,
+            # extra keys (not in export.rs) consumed by viz/player.py
+            "sample_interval": self._sample_interval_ticks * self.dt,
+            "world_size": list(self._world),
             "gbp": {"iterations": {"internal": sched.internal, "external": sched.external}},
             "robots": robots,
             "prng_seed": self.seed,
@@ -429,9 +453,49 @@ class Simulator:
             "collisions": {"robots": coll_robots, "environment": coll_env},
             "goal_areas": goal_areas,
         }
+        viz = self._harvest_viz(state)
+        if viz is not None:
+            data["viz"] = viz
+
         if path is not None:
             Path(path).write_text(json.dumps(data))
         return data
+
+    def _harvest_viz(self, state) -> dict | None:
+        """Unroll the belief visualisation ring buffer (viz/player.py's
+        predicted-trajectory and uncertainty layers; the live data of
+        visualiser/factorgraphs.rs and uncertainty.rs)."""
+        Lv = state.viz_mean.shape[0]
+        if Lv == 0:
+            return None
+        head = int(np.asarray(state.log_head))
+        n = min(head, Lv)
+        if n == 0:
+            return None
+        first = head - n
+        order = (first + np.arange(n)) % Lv
+        sample_dt = self.params.log_every * self.dt
+
+        def clean(a):  # NaN -> None, round for JSON size
+            out = np.round(np.asarray(a, dtype=np.float64), 3)
+            return [
+                [
+                    None
+                    if np.isnan(rv).any()
+                    else [float(x) for x in rv]
+                    for rv in rr
+                ]
+                for rr in out
+            ]
+
+        mean = np.asarray(state.viz_mean)[order]  # [n, R, V, 2]
+        cov = np.asarray(state.viz_cov)[order]    # [n, R, V, 3]
+        return {
+            "t0": first * sample_dt,
+            "dt": sample_dt,
+            "mean": [clean(m) for m in mean],
+            "cov": [clean(c) for c in cov],
+        }
 
 
 def _check_var(check) -> int:

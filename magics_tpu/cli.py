@@ -40,6 +40,12 @@ def main(argv=None) -> int:
         action="store_true",
         help="print the GBP iteration schedule table for the scenario",
     )
+    p.add_argument(
+        "--schedule-graph",
+        action="store_true",
+        help="print the FixedUpdate system chain as graphviz DOT and exit "
+        "(main.rs:429-458 debugdump parity)",
+    )
     p.add_argument("--seed", type=int, default=None, help="override prng-seed")
     p.add_argument("--max-time", type=float, default=None, help="override max sim time (s)")
     p.add_argument("--export", metavar="PATH", help="write JSON export here")
@@ -140,6 +146,31 @@ def main(argv=None) -> int:
             ],
         }
         print(yaml.safe_dump(doc, sort_keys=False, allow_unicode=True))
+        return 0
+
+    if args.schedule_graph:
+        # the jitted FixedUpdate system chain (graph/tick.py:step; the
+        # reference's equivalent chain is robot.rs:86-108)
+        systems = [
+            ("activate_due_spawns", "spawner timers"),
+            ("check_waypoints", "reached_waypoint"),
+            ("update_connectivity", "update_robot_neighbours +\\ndelete/create_interrobot_factors"),
+            ("update_failed_comms", "Bernoulli antenna flips"),
+            ("update_prior_horizon", "update_prior_of_horizon_state"),
+            ("update_prior_current", "update_prior_of_current_state_v3"),
+            ("iterate_gbp", "iterate_gbp_v2 (schedule)"),
+            ("update_message_counts", "message counters"),
+            ("update_collisions", "collision hysteresis"),
+            ("update_goal_areas", "goal areas"),
+            ("log_positions", "position/velocity/belief trackers"),
+        ]
+        print("digraph fixed_update {")
+        print('  rankdir=LR; node [shape=box, fontname="monospace"];')
+        for name, label in systems:
+            print(f'  {name} [label="{name}\\n({label})"];')
+        for (a, _), (b, _) in zip(systems, systems[1:]):
+            print(f"  {a} -> {b};")
+        print("}")
         return 0
 
     if args.list_scenarios:

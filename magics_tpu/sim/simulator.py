@@ -201,6 +201,10 @@ class Simulator:
         )
         self.env_dist = jnp.asarray(self.env_dist_np, dtype=dtype)
 
+        from magics_tpu.io.diagnostics import DiagnosticsRecorder
+
+        self.diagnostics = DiagnosticsRecorder(n_vars=self.params.n_vars)
+
         self.logs = [
             RobotLog(
                 spawn_tick=s.spawn_tick,
@@ -290,7 +294,8 @@ class Simulator:
                     )
                 state = rem_runner(state, self.sdf, self.params, env_dist=self.env_dist)
             tick += n
-            n_done = int(np.asarray(jnp.sum(state.completed)))
+            self.diagnostics.sample(state, self.params, tick * self.dt)
+            n_done = self.diagnostics.completed[-1]
             if progress is not None:
                 progress(tick, n_done)
             if (
@@ -456,6 +461,10 @@ class Simulator:
         viz = self._harvest_viz(state)
         if viz is not None:
             data["viz"] = viz
+
+        if self.diagnostics.time:
+            # sampled time series (diagnostic/robot.rs / ui/metrics.rs)
+            data["diagnostics"] = self.diagnostics.as_dict()
 
         if path is not None:
             Path(path).write_text(json.dumps(data))

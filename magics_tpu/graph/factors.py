@@ -117,17 +117,27 @@ def obstacle_taps(
     sdf: jax.Array,        # [H, W] float in [0, 1]
     world_size: tuple[float, float],
     dtype=jnp.float32,
+    method: str | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """The three SDF samples (h0, h(+dx), h(+dy)) each obstacle factor needs.
 
-    Split out from the message math so the gather can run in XLA while the
+    Split out from the message math so the lookup can run in XLA while the
     arithmetic fuses into the Pallas slot kernel (kernels/gbp_slot.py).
+
+    `method`: "gather" indexes the image directly — fast on CPU, but XLA's
+    TPU gather serialises (~0.43 ms per 20k taps at R=1024). "onehot"
+    contracts a one-hot row selector against the image on the MXU and reduces
+    the column selector on the VPU (~0.17 ms, bandwidth-bound) — bit-exact
+    with the gather because each product picks exactly one f32 table entry
+    (precision "highest" keeps the MXU in f32). Default: by backend.
     """
     H, W = sdf.shape
     ww, wh = world_size
     x_scale = W / ww
     y_scale = H / wh
     delta = obstacle_delta((H, W), world_size)
+    if method is None:
+        method = "onehot" if jax.default_backend() == "tpu" else "gather"
 
     def measure(px, py):
         # world -> pixel (obstacle.rs:147-155). Rust's `as u32` cast truncates
@@ -139,7 +149,17 @@ def obstacle_taps(
         xi = jnp.clip(jnp.floor(jnp.maximum(xf, 0.0)), 0, W - 1).astype(jnp.int32)
         yi = jnp.clip(jnp.floor(jnp.maximum(yf, 0.0)), 0, H - 1).astype(jnp.int32)
         inside = (xf < W) & (yf < H)
-        val = 1.0 - sdf[yi, xi]
+        if method == "onehot":
+            oh_y = (yi[..., None] == jnp.arange(H, dtype=jnp.int32)).astype(
+                sdf.dtype
+            )
+            rows = jnp.einsum(
+                "...h,hw->...w", oh_y, sdf, precision="highest"
+            )
+            oh_x = xi[..., None] == jnp.arange(W, dtype=jnp.int32)
+            val = 1.0 - jnp.sum(jnp.where(oh_x, rows, 0.0), axis=-1)
+        else:
+            val = 1.0 - sdf[yi, xi]
         return jnp.where(inside, val, 0.0).astype(dtype)
 
     px = v2f_mu[..., 0]

@@ -252,6 +252,7 @@ class SimState:
     # belief visualisation ring buffers (empty [0, ...] when disabled):
     viz_mean: jax.Array      # [Lv, R, V, 2] f32 — variable position means
     viz_cov: jax.Array       # [Lv, R, V, 3] f32 — (cov_xx, cov_xy, cov_yy)
+    viz_trk: jax.Array       # [Lv, R, V-2, 2] f32 — tracking measurement pts
     # message counters [R, 4]: internal/external x sent/received
     msg_counts: jax.Array
     # collision counters (hysteresis-counted events, collisions.rs:146-227)
@@ -411,6 +412,9 @@ def init_state(
         ),
         viz_cov=jnp.full(
             (params.viz_log_capacity, R, V, 3), jnp.nan, dtype=jnp.float32
+        ),
+        viz_trk=jnp.full(
+            (params.viz_log_capacity, R, Vm2, 2), jnp.nan, dtype=jnp.float32
         ),
         msg_counts=izeros(R, 4),
         rr_collisions=jnp.asarray(0, dtype=jnp.int32),

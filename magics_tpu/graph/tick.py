@@ -1236,6 +1236,10 @@ def log_positions(state: SimState, params: GbpParams) -> SimState:
         crow = jnp.where(do_log, cov3, state.viz_cov[vidx])
         updates["viz_mean"] = state.viz_mean.at[vidx].set(mrow)
         updates["viz_cov"] = state.viz_cov.at[vidx].set(crow)
+        # tracking-factor measurement points (visualiser/tracking.rs)
+        trk2 = jnp.where(a2, state.trk_last_pos, jnp.nan).astype(jnp.float32)
+        trow = jnp.where(do_log, trk2, state.viz_trk[vidx])
+        updates["viz_trk"] = state.viz_trk.at[vidx].set(trow)
 
     return replace(state, **updates)
 

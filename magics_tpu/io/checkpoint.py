@@ -41,6 +41,9 @@ _FIELD_DEFAULTS = {
     "viz_cov": lambda R, data: np.zeros(
         (0, R, data["prior_mean"].shape[1], 3), dtype=np.float32
     ),
+    "viz_trk": lambda R, data: np.zeros(
+        (0, R, max(data["prior_mean"].shape[1] - 2, 0), 2), dtype=np.float32
+    ),
 }
 
 

@@ -499,11 +499,13 @@ class Simulator:
 
         mean = np.asarray(state.viz_mean)[order]  # [n, R, V, 2]
         cov = np.asarray(state.viz_cov)[order]    # [n, R, V, 3]
+        trk = np.asarray(state.viz_trk)[order]    # [n, R, V-2, 2]
         return {
             "t0": first * sample_dt,
             "dt": sample_dt,
             "mean": [clean(m) for m in mean],
             "cov": [clean(c) for c in cov],
+            "tracking": [clean(t) for t in trk],
         }
 
 

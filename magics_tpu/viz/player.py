@@ -185,6 +185,7 @@ const LAYERS = [
   ["velocity", "velocity arrows", false],
   ["predicted", "predicted trajectories", !!viz],
   ["uncertainty", "uncertainty ellipses", false],
+  ["tracking", "tracking projections", false],
   ["obstacles", "obstacles", true],
   ["collisions", "collision flashes", true],
   ["goals", "goal areas", true],
@@ -193,7 +194,7 @@ const LAYERS = [
 const layerState = {};
 const layersDiv = document.getElementById("layers");
 for (const [key, name, def] of LAYERS) {
-  if (key === "predicted" || key === "uncertainty") { if (!viz) continue; }
+  if (key === "predicted" || key === "uncertainty" || key === "tracking") { if (!viz) continue; }
   layerState[key] = def;
   const l = document.createElement("label");
   const c = document.createElement("input");
@@ -387,7 +388,7 @@ function draw() {
   }
 
   // predicted trajectories + uncertainty (factorgraphs.rs / uncertainty.rs)
-  if (viz && (layerState.predicted || layerState.uncertainty)) {
+  if (viz && (layerState.predicted || layerState.uncertainty || layerState.tracking)) {
     const vdt = viz.dt || DT;
     const kf = Math.min(Math.max(Math.round((t - viz.t0) / vdt), 0), viz.mean.length - 1);
     const means = viz.mean[kf];            // [R][V] of [x,y] | null
@@ -419,6 +420,28 @@ function draw() {
           ctx.beginPath();
           ellipsePath(m[0], m[1], c[0], c[1], c[2], 1.0);
           ctx.stroke();
+        });
+        ctx.globalAlpha = 1;
+      }
+      // tracking-factor measurement points (visualiser/tracking.rs):
+      // a cross at the projection, a faint line from the variable to it
+      const trks = viz.tracking ? viz.tracking[kf] : null;
+      if (layerState.tracking && trks && trks[ri]) {
+        ctx.strokeStyle = r.color; ctx.globalAlpha = 0.7;
+        trks[ri].forEach((p, i) => {
+          const m = means[ri][i + 1];  // tracking factors sit on vars 1..V-2
+          if (!p) return;
+          const [x, y] = toPx(p[0], p[1]);
+          ctx.beginPath();
+          ctx.moveTo(x - 3, y - 3); ctx.lineTo(x + 3, y + 3);
+          ctx.moveTo(x - 3, y + 3); ctx.lineTo(x + 3, y - 3);
+          ctx.stroke();
+          if (m) {
+            const [mx, my] = toPx(m[0], m[1]);
+            ctx.globalAlpha = 0.3;
+            ctx.beginPath(); ctx.moveTo(mx, my); ctx.lineTo(x, y); ctx.stroke();
+            ctx.globalAlpha = 0.7;
+          }
         });
         ctx.globalAlpha = 1;
       }

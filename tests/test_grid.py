@@ -193,3 +193,22 @@ def test_partner_table_overflow_counter():
     state = T.step(state, sdf, params)
     # each robot overlaps 5 others but records only 2: 3 dropped each
     assert int(state.rr_partner_overflow) == R * 3
+
+
+def test_obstacle_tap_methods_bit_identical():
+    """The MXU one-hot lookup must match the gather exactly (graph/factors.py
+    obstacle_taps): every one-hot product selects a single f32 table entry."""
+    import jax.numpy as jnp
+
+    from magics_tpu.graph import factors as F
+
+    rng = np.random.default_rng(3)
+    sdf = jnp.asarray(rng.random((64, 48)).astype(np.float32))
+    mu = jnp.asarray(
+        rng.uniform(-60, 60, size=(7, 33, 4)).astype(np.float32)
+    )  # includes out-of-bounds coords
+    world = (100.0, 90.0)
+    a = F.obstacle_taps(mu, sdf, world, method="gather")
+    b = F.obstacle_taps(mu, sdf, world, method="onehot")
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

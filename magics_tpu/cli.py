@@ -87,7 +87,26 @@ def main(argv=None) -> int:
         help="force a jax backend (default: whatever jax picks)",
     )
     p.add_argument("--quiet", action="store_true")
+    p.add_argument(
+        "-v", "--verbose", action="count", default=0,
+        help="increase log verbosity (cli.rs:99-104 parity)",
+    )
+    p.add_argument(
+        "--working-dir", metavar="DIR",
+        help="chdir before doing anything else (cli.rs:95-97 parity)",
+    )
     args = p.parse_args(argv)
+
+    if args.working_dir:
+        import os
+
+        os.chdir(args.working_dir)
+    if args.verbose:
+        import logging
+
+        logging.basicConfig(
+            level=logging.DEBUG if args.verbose > 1 else logging.INFO
+        )
 
     if args.platform:
         # must happen before any jax backend touch; env vars are ignored when

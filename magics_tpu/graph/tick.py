@@ -927,11 +927,15 @@ def update_message_counts(state: SimState, params: GbpParams) -> SimState:
             & (send_gate[src] > 0)
             & has_back
         ).astype(jnp.int32)
-        ext_sent += jnp.sum(produced, axis=1) * (V - 1)
-        ext_recv += jnp.sum(deliver, axis=1) * (V - 1)
+        # explicit int32: under x64 jnp.sum promotes int32 to int64, which
+        # would change the scan carry dtype of msg_counts
+        n_prod = jnp.sum(produced, axis=1).astype(jnp.int32)
+        n_del = jnp.sum(deliver, axis=1).astype(jnp.int32)
+        ext_sent += n_prod * (V - 1)
+        ext_recv += n_del * (V - 1)
         # variable pass: responses to external factors, same masks mirrored
-        ext_sent += jnp.sum(deliver, axis=1) * (V - 1)
-        ext_recv += jnp.sum(deliver, axis=1) * (V - 1)
+        ext_sent += n_del * (V - 1)
+        ext_recv += n_del * (V - 1)
         ext_sent = n_ext * ext_sent
         ext_recv = n_ext * ext_recv
 

@@ -151,8 +151,7 @@ class Simulator:
         self._goal_areas = goal_areas
 
         sched = cfg.gbp.iteration_schedule
-        self.params, self.state, self.sdf = build_scenario(
-            specs,
+        self._build_kwargs = dict(
             target_speed=speed,
             planning_horizon=cfg.robot.planning_horizon,
             hz=self.hz,
@@ -166,7 +165,6 @@ class Simulator:
             sdf=sdf_np,
             world=world,
             dtype=dtype,
-            seed=seed,
             sigma_factor_dynamics=cfg.gbp.sigma_factor_dynamics,
             sigma_factor_interrobot=cfg.gbp.sigma_factor_interrobot,
             sigma_factor_obstacle=cfg.gbp.sigma_factor_obstacle,
@@ -199,6 +197,9 @@ class Simulator:
             ),
             goal_areas=goal_areas,
         )
+        self.params, self.state, self.sdf = build_scenario(
+            specs, seed=seed, **self._build_kwargs
+        )
         self.env_dist = jnp.asarray(self.env_dist_np, dtype=dtype)
 
         from magics_tpu.io.diagnostics import DiagnosticsRecorder
@@ -228,6 +229,22 @@ class Simulator:
                 self.env_dist_np, self._world, self.cfg.rrt
             )
         return self._planner
+
+    def reset(self, seed: int | None = None) -> None:
+        """Hot-reload the scenario (the F5 flow, simulation_loader.rs:687-713):
+        despawn everything, reset virtual time, reseed the PRNG, rebuild the
+        initial dense state. Params are unchanged (same scenario), so jitted
+        ticks stay compiled; host-side logs and diagnostics are cleared."""
+        from magics_tpu.io.diagnostics import DiagnosticsRecorder
+
+        if seed is not None:
+            self.seed = seed
+        _, self.state, _ = build_scenario(self.specs, seed=self.seed, **self._build_kwargs)
+        for rl in self.logs:
+            rl.positions = []
+            rl.velocities = []
+            rl.finished_at = None
+        self.diagnostics = DiagnosticsRecorder(n_vars=self.params.n_vars)
 
     def save_settings(self, path=None) -> Path:
         """Persist the live Config back to the scenario's config.toml (the

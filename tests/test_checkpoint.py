@@ -105,3 +105,24 @@ def test_grid_mode_mismatch_rejected(tmp_path):
     grid_params = dc.replace(params, grid_cell_size=10.0)
     with pytest.raises(ValueError, match="collision mode"):
         CK.load(p, params=grid_params)
+
+
+def test_simulator_reset_is_reload(tmp_path):
+    """Simulator.reset == scenario hot-reload (simulation_loader.rs:687-713):
+    the rebuilt state matches a fresh Simulator's initial state."""
+    from magics_tpu.config.loader import load_scenario
+    from magics_tpu.sim.simulator import Simulator
+
+    sc = load_scenario("/root/reference/config/scenarios/Circle Experiment")
+    sim = Simulator(sc, max_sim_time=2.0)
+    initial = sim.state
+    sim.run(max_ticks=5)
+    assert int(np.asarray(sim.state.tick)) == 5
+    sim.reset()
+    for f in dataclasses.fields(initial):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(initial, f.name)),
+            np.asarray(getattr(sim.state, f.name)),
+            err_msg=f.name,
+        )
+    assert sim.diagnostics.time == []

@@ -1,0 +1,89 @@
+"""Experiment sweep runner — the reference's fish harness as one script.
+
+Mirrors scripts/run-circle-expertiment.fish (seeds 0/31/227/252/805, robot
+counts 5..50 step 5) and its siblings: for every (seed, robot-count) cell it
+runs the scenario headless to completion, writes the JSON export, and folds
+the offline metrics (makespan, LDJ, distance travelled, path deviation —
+magics_tpu/analysis.py) into one summary JSON for plotting.
+
+    python scripts/run_experiment.py "Circle Experiment" \
+        --scenarios-dir /path/to/config/scenarios \
+        --seeds 0,31,227,252,805 --robots 5:50:5 --out results/
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("scenario")
+    p.add_argument("--scenarios-dir", default="/root/reference/config/scenarios")
+    p.add_argument("--seeds", default="0,31,227,252,805")
+    p.add_argument("--robots", default=None,
+                   help="start:stop:step sweep of the first formation's robot "
+                        "count (e.g. 5:50:5); default: scenario as-is")
+    p.add_argument("--max-time", type=float, default=None)
+    p.add_argument("--out", default="experiment-out")
+    p.add_argument("--platform", choices=["tpu", "cpu"], default=None)
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from magics_tpu.analysis import analyse
+    from magics_tpu.config.loader import load_scenario
+    from magics_tpu.sim.simulator import Simulator
+
+    seeds = [int(s) for s in args.seeds.split(",")]
+    if args.robots:
+        a, b, c = (int(x) for x in args.robots.split(":"))
+        robot_counts = list(range(a, b + 1, c))
+    else:
+        robot_counts = [None]
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    base = load_scenario(Path(args.scenarios_dir) / args.scenario)
+
+    summary: list[dict] = []
+    for n in robot_counts:
+        for seed in seeds:
+            sc = copy.deepcopy(base)
+            if n is not None:
+                sc.formations.formations[0].robots = n
+            t0 = time.perf_counter()
+            sim = Simulator(sc, seed=seed, max_sim_time=args.max_time,
+                            viz_log=False)
+            result = sim.run()
+            tag = f"{args.scenario.replace(' ', '-')}_r{n or 'cfg'}_s{seed}"
+            export = sim.export(out_dir / f"export_{tag}.json")
+            metrics = analyse(export)
+            metrics.pop("per_robot", None)
+            row = {
+                "robots": n or len(sim.specs),
+                "seed": seed,
+                "wall_s": round(time.perf_counter() - t0, 2),
+                **result,
+                "metrics": metrics,
+            }
+            summary.append(row)
+            print(json.dumps(row))
+
+    (out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(f"wrote {out_dir / 'summary.json'}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

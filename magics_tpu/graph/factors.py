@@ -283,6 +283,116 @@ def interrobot_factor_messages(
     return int_eta, int_lam, ext_eta, ext_lam, skipped
 
 
+def interrobot_rank1_messages(
+    x_int: jax.Array,        # [..., 4] internal linearisation mean (snap mu)
+    p_ext: jax.Array,        # [..., 2] external variable position
+    cav_eta: jax.Array,      # [..., 4] internal cavity (snap eta where seeded)
+    cav_lam: jax.Array,      # [..., 4, 4] internal cavity precision
+    safety_distance: jax.Array,  # [...]
+    tiny_offset: jax.Array,      # [...]
+    sigma: float,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Message from each inter-robot factor to its *external* variable, in
+    compact rank-1 form [(gx, gy, t, s)]: eta = g*t, lam = s * g g^T.
+
+    Exactly the reference's computation specialised to its structure: the
+    potential is J^T Lam_m J with ONE measurement row J = [g, 0, -g, 0]
+    (interrobot.rs:121-161), so every Schur block shares the g factor and the
+    marginal onto the external variable collapses to two scalars:
+
+        M      = alpha g g^T + cavity            (alpha = 1/sigma^2)
+        q      = g^T M^-1 g
+        w      = g^T M^-1 (alpha g (J x0 - h) + cav_eta)
+        s      = alpha (1 - alpha q)
+        t      = alpha (w - (J x0 - h))
+
+    The external variable's own response cavity enters only the message to
+    the factor's internal variable — which external_factor_iteration drops on
+    the floor (factorgraph.rs:719-760) — so it does not appear here at all.
+    Validity guards mirror marginalize_two_block (core/linalg.py): empty
+    message on singular / non-finite / insane / negligible marginals, and on
+    the skip condition (raw distance >= safety, interrobot.rs:213-226).
+    """
+    from magics_tpu.core.linalg import inv4_rowscaled, mv
+
+    d_raw = x_int[..., :2] - p_ext
+    dist2_raw = jnp.sum(d_raw * d_raw, axis=-1)
+    skipped = dist2_raw >= safety_distance * safety_distance
+
+    diff = d_raw + tiny_offset[..., None]
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    within = r <= safety_distance
+
+    h0 = jnp.where(within, 1.0 - r / safety_distance, 0.0).astype(dtype)
+    safe_r = jnp.where(r > 0, r, 1.0)
+    g2 = jnp.where(
+        within[..., None],
+        -diff / (safety_distance[..., None] * safe_r[..., None]),
+        0.0,
+    ).astype(dtype)  # [..., 2] — J's position block on the internal variable
+
+    alpha = jnp.asarray(1.0 / (sigma * sigma), dtype)
+    # J x0 = g . p_int - g . p_ext (velocity columns of J are zero)
+    jx0 = jnp.sum(g2 * d_raw.astype(dtype), axis=-1)
+    resid = jx0 - h0  # alpha * resid is the eta scale
+
+    g4 = jnp.concatenate([g2, jnp.zeros_like(g2)], axis=-1)  # [..., 4]
+    M = alpha * g4[..., :, None] * g4[..., None, :] + cav_lam
+    M_inv, det = inv4_rowscaled(M)
+    Mg = mv(M_inv, g4)
+    q = jnp.sum(g4 * Mg, axis=-1)
+    w = jnp.sum(Mg * (alpha * resid[..., None] * g4 + cav_eta), axis=-1)
+
+    s = alpha * (1.0 - alpha * q)
+    t = alpha * (w - resid)
+
+    # guards, mirroring marginalize_two_block on the rank-1 marginal:
+    # lam_msg = s g g^T, lam_bb = alpha g g^T share the |g|^2 scale factor
+    gmax2 = jnp.max(jnp.abs(g2), axis=-1) ** 2
+    finite = jnp.isfinite(s) & jnp.isfinite(t)
+    sane = jnp.abs(s) * gmax2 <= 4.0 * alpha * gmax2 + 1.0
+    rtol = 1e-4 if dtype == jnp.float32 else 1e-12
+    negligible = jnp.abs(s) * gmax2 <= rtol * alpha * gmax2
+    valid = (jnp.abs(det) > 1e-6) & finite & sane & ~negligible & ~skipped
+
+    ok = valid.astype(dtype)
+    return jnp.stack([g2[..., 0] * ok, g2[..., 1] * ok, t * ok, s * ok], axis=-1)
+
+
+def rank1_eta_lam(msg: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Expand compact rank-1 messages [..., (gx, gy, t, s)] to information
+    form (eta [..., 4], lam [..., 4, 4]) — only the position block is ever
+    nonzero."""
+    gx, gy, t, s = msg[..., 0], msg[..., 1], msg[..., 2], msg[..., 3]
+    z = jnp.zeros_like(gx)
+    eta = jnp.stack([gx * t, gy * t, z, z], axis=-1)
+    gxx, gxy, gyy = s * gx * gx, s * gx * gy, s * gy * gy
+    row0 = jnp.stack([gxx, gxy, z, z], axis=-1)
+    row1 = jnp.stack([gxy, gyy, z, z], axis=-1)
+    rowz = jnp.stack([z, z, z, z], axis=-1)
+    lam = jnp.stack([row0, row1, rowz, rowz], axis=-2)
+    return eta, lam
+
+
+def rank1_sum(msg: jax.Array, axis: int = 1) -> tuple[jax.Array, jax.Array]:
+    """Sum compact rank-1 messages over `axis`, returning dense (eta [..., 4],
+    lam [..., 4, 4]) with only the 2x2 position block populated."""
+    gx, gy, t, s = msg[..., 0], msg[..., 1], msg[..., 2], msg[..., 3]
+    ex = jnp.sum(gx * t, axis=axis)
+    ey = jnp.sum(gy * t, axis=axis)
+    lxx = jnp.sum(s * gx * gx, axis=axis)
+    lxy = jnp.sum(s * gx * gy, axis=axis)
+    lyy = jnp.sum(s * gy * gy, axis=axis)
+    z = jnp.zeros_like(ex)
+    eta = jnp.stack([ex, ey, z, z], axis=-1)
+    row0 = jnp.stack([lxx, lxy, z, z], axis=-1)
+    row1 = jnp.stack([lxy, lyy, z, z], axis=-1)
+    rowz = jnp.stack([z, z, z, z], axis=-1)
+    lam = jnp.stack([row0, row1, rowz, rowz], axis=-2)
+    return eta, lam
+
+
 def tracking_factor_messages(
     v2f_mu: jax.Array,      # [R, F, 4]
     path: jax.Array,        # [R, W, 2]

@@ -222,23 +222,26 @@ class SimState:
     trk_path_len: jax.Array  # [R] i32
 
     # --- inter-robot connections ------------------------------------------
+    # An inter-robot factor's potential has exactly one measurement row
+    # (interrobot.rs:121-161), so (a) its message to the external variable is
+    # rank-1 — stored compact as (gx, gy, t, s): eta = g*t, lam = s*g*g^T
+    # (factors.interrobot_rank1_messages) — and (b) the external variable's
+    # response eta/lam only feed the factor's message to its OWN variable,
+    # which external_factor_iteration drops on the floor
+    # (factorgraph.rs:719-760), so only the response *mean position* is kept.
     nbr_idx: jax.Array       # [R, K] i32 — neighbour robot index; -1 empty
     nbr_mask: jax.Array      # [R, K] bool
     ir_int_seeded: jax.Array  # [R, K, V-1] bool — internal v2f ever written
-    # Inboxes of the inter-robot factor owned by (r, k) at chain position i
-    # (pairing r's variable i+1 with neighbour's variable i+1):
-    ir_v2f_ext_eta: jax.Array  # [R, K, V-1, 4] — external variable's response
-    ir_v2f_ext_lam: jax.Array  # [R, K, V-1, 4, 4]
-    ir_v2f_ext_mu: jax.Array   # [R, K, V-1, 4]
-    # Outbox of the factor towards the external variable (the only message an
-    # inter-robot factor ever delivers, factorgraph.rs:719-760):
-    ir_f2v_ext_eta: jax.Array  # [R, K, V-1, 4]
-    ir_f2v_ext_lam: jax.Array  # [R, K, V-1, 4, 4]
+    # Inbox of the factor owned by (r, k) at chain position i: the external
+    # variable's latest delivered response position (its belief/changed-prior
+    # mean — the factor's linearisation point for that variable):
+    ir_v2f_ext_pos: jax.Array  # [R, K, V-1, 2]
+    # Outbox of the factor towards the external variable, compact rank-1:
+    ir_f2v_ext: jax.Array      # [R, K, V-1, 4] = (gx, gy, t, s)
     # Inbox of r's variable i+1 for the message from the factor owned by
     # neighbour (nbr_idx[r,k]) — the delivered copy (delivery is gated on the
     # receiver's antenna/mission, robot.rs:1820-1830):
-    ext_inbox_eta: jax.Array   # [R, K, V-1, 4]
-    ext_inbox_lam: jax.Array   # [R, K, V-1, 4, 4]
+    ext_inbox: jax.Array       # [R, K, V-1, 4] = (gx, gy, t, s)
 
     # --- bookkeeping -------------------------------------------------------
     tick: jax.Array          # [] i32 — FixedUpdate counter
@@ -395,13 +398,9 @@ def init_state(
         nbr_idx=jnp.full((R, K), -1, dtype=jnp.int32),
         nbr_mask=jnp.zeros((R, K), dtype=bool),
         ir_int_seeded=jnp.zeros((R, K, Vm1), dtype=bool),
-        ir_v2f_ext_eta=zeros(R, K, Vm1, DOFS),
-        ir_v2f_ext_lam=zeros(R, K, Vm1, DOFS, DOFS),
-        ir_v2f_ext_mu=zeros(R, K, Vm1, DOFS),
-        ir_f2v_ext_eta=zeros(R, K, Vm1, DOFS),
-        ir_f2v_ext_lam=zeros(R, K, Vm1, DOFS, DOFS),
-        ext_inbox_eta=zeros(R, K, Vm1, DOFS),
-        ext_inbox_lam=zeros(R, K, Vm1, DOFS, DOFS),
+        ir_v2f_ext_pos=zeros(R, K, Vm1, 2),
+        ir_f2v_ext=zeros(R, K, Vm1, DOFS),
+        ext_inbox=zeros(R, K, Vm1, DOFS),
         tick=jnp.asarray(0, dtype=jnp.int32),
         rng=jax.random.PRNGKey(seed),
         pos_log=jnp.full((params.log_capacity, R, 2), jnp.nan, dtype=jnp.float32),

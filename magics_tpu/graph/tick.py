@@ -288,39 +288,28 @@ def _finish_connectivity(
     def reset(arr):
         return jnp.where(_exp(slot_reset, arr.ndim - 2), 0, arr)
 
-    ir_v2f_ext_eta = reset(state.ir_v2f_ext_eta)
-    ir_v2f_ext_lam = reset(state.ir_v2f_ext_lam)
-    ir_v2f_ext_mu = reset(state.ir_v2f_ext_mu)
-    ir_f2v_ext_eta = reset(state.ir_f2v_ext_eta)
-    ir_f2v_ext_lam = reset(state.ir_f2v_ext_lam)
-    ext_inbox_eta = reset(state.ext_inbox_eta)
-    ext_inbox_lam = reset(state.ext_inbox_lam)
+    ir_v2f_ext_pos = reset(state.ir_v2f_ext_pos)
+    ir_f2v_ext = reset(state.ir_f2v_ext)
+    ext_inbox = reset(state.ext_inbox)
     seeded = jnp.where(slot_reset[..., None], False, state.ir_int_seeded)
 
-    # seed new factors' external inbox with the neighbour's current belief
-    # (prepare_message of the nth variable, robot.rs:1556-1566). Variables
-    # 1..V-1 of the neighbour map to chain slots 0..V-2.
-    nbr_belief_eta = _gather_robot(state.belief_eta, nbr_idx_new, is_new)[:, :, 1:, :]
-    nbr_belief_lam = _gather_robot(state.belief_lam, nbr_idx_new, is_new)[:, :, 1:, :, :]
-    nbr_belief_mu = _gather_robot(state.belief_mean, nbr_idx_new, is_new)[:, :, 1:, :]
-
-    newm = _exp(is_new, 2)
-    ir_v2f_ext_eta = jnp.where(newm, nbr_belief_eta, ir_v2f_ext_eta)
-    ir_v2f_ext_mu = jnp.where(newm, nbr_belief_mu, ir_v2f_ext_mu)
-    ir_v2f_ext_lam = jnp.where(_exp(is_new, 3), nbr_belief_lam, ir_v2f_ext_lam)
+    # seed new factors' external linearisation point with the neighbour's
+    # current belief mean (prepare_message of the nth variable,
+    # robot.rs:1556-1566 — only the position enters the factor maths, see
+    # state.py). Variables 1..V-1 of the neighbour map to chain slots 0..V-2.
+    nbr_belief_pos = _gather_robot(
+        state.belief_mean[..., :2], nbr_idx_new, is_new
+    )[:, :, 1:, :]
+    ir_v2f_ext_pos = jnp.where(_exp(is_new, 2), nbr_belief_pos, ir_v2f_ext_pos)
 
     return replace(
         state,
             nbr_idx=jnp.where(mask_new, nbr_idx_new, -1),
             nbr_mask=mask_new,
             ir_int_seeded=seeded,
-            ir_v2f_ext_eta=ir_v2f_ext_eta,
-            ir_v2f_ext_lam=ir_v2f_ext_lam,
-            ir_v2f_ext_mu=ir_v2f_ext_mu,
-            ir_f2v_ext_eta=ir_f2v_ext_eta,
-            ir_f2v_ext_lam=ir_f2v_ext_lam,
-            ext_inbox_eta=ext_inbox_eta,
-            ext_inbox_lam=ext_inbox_lam,
+            ir_v2f_ext_pos=ir_v2f_ext_pos,
+            ir_f2v_ext=ir_f2v_ext,
+            ext_inbox=ext_inbox,
     )
 
 
@@ -401,18 +390,15 @@ def update_prior_horizon(state: SimState, params: GbpParams) -> SimState:
 
     # deliver responses to external factors (ungated receive,
     # robot.rs:2272-2282): the factor owned by (j, k) at chain slot V-2 has
-    # r = nbr_idx[j, k]'s horizon variable as its external variable.
-    back, _ = compute_back_slots(state.nbr_idx, state.nbr_mask)
+    # r = nbr_idx[j, k]'s horizon variable as its external variable. Only the
+    # response's mean position enters the factor maths (state.py).
     src = jnp.clip(state.nbr_idx, 0, R - 1)  # [R, K] — j's neighbour r
     sent = gate[src] & state.nbr_mask        # r actually changed its prior
-    ir_v2f_ext_eta = state.ir_v2f_ext_eta.at[:, :, V - 2].set(
-        jnp.where(_exp(sent, 1), h_eta[src], state.ir_v2f_ext_eta[:, :, V - 2])
-    )
-    ir_v2f_ext_lam = state.ir_v2f_ext_lam.at[:, :, V - 2].set(
-        jnp.where(_exp(sent, 2), h_lam[src], state.ir_v2f_ext_lam[:, :, V - 2])
-    )
-    ir_v2f_ext_mu = state.ir_v2f_ext_mu.at[:, :, V - 2].set(
-        jnp.where(_exp(sent, 1), new_mean[src], state.ir_v2f_ext_mu[:, :, V - 2])
+    ir_v2f_ext_pos = state.ir_v2f_ext_pos.at[:, :, V - 2].set(
+        jnp.where(
+            _exp(sent, 1), new_mean[src][..., :2],
+            state.ir_v2f_ext_pos[:, :, V - 2],
+        )
     )
 
     # empty the horizon variable's inbox
@@ -422,11 +408,8 @@ def update_prior_horizon(state: SimState, params: GbpParams) -> SimState:
     dyn_f2v_lam = state.dyn_f2v_lam.at[:, V - 2, 1].set(
         jnp.where(_exp(gate, 2), 0.0, state.dyn_f2v_lam[:, V - 2, 1])
     )
-    ext_inbox_eta = state.ext_inbox_eta.at[:, :, V - 2].set(
-        jnp.where(_exp(gate, 2), 0.0, state.ext_inbox_eta[:, :, V - 2])
-    )
-    ext_inbox_lam = state.ext_inbox_lam.at[:, :, V - 2].set(
-        jnp.where(_exp(gate, 3), 0.0, state.ext_inbox_lam[:, :, V - 2])
+    ext_inbox = state.ext_inbox.at[:, :, V - 2].set(
+        jnp.where(_exp(gate, 2), 0.0, state.ext_inbox[:, :, V - 2])
     )
 
     return replace(
@@ -440,13 +423,10 @@ def update_prior_horizon(state: SimState, params: GbpParams) -> SimState:
             snap_lam=snap_lam,
             snap_mu=snap_mu,
             ir_int_seeded=seeded,
-            ir_v2f_ext_eta=ir_v2f_ext_eta,
-            ir_v2f_ext_lam=ir_v2f_ext_lam,
-            ir_v2f_ext_mu=ir_v2f_ext_mu,
+            ir_v2f_ext_pos=ir_v2f_ext_pos,
             dyn_f2v_eta=dyn_f2v_eta,
             dyn_f2v_lam=dyn_f2v_lam,
-            ext_inbox_eta=ext_inbox_eta,
-            ext_inbox_lam=ext_inbox_lam,
+            ext_inbox=ext_inbox,
     )
 
 
@@ -616,8 +596,7 @@ def internal_variable_pass(state: SimState, params: GbpParams) -> SimState:
         obs_f2v_lam=state.obs_f2v_lam,
         trk_f2v_eta=state.trk_f2v_eta,
         trk_f2v_lam=state.trk_f2v_lam,
-        ext_inbox_eta=state.ext_inbox_eta,
-        ext_inbox_lam=state.ext_inbox_lam,
+        ext_inbox=state.ext_inbox,
     )
     upd = VU.update_beliefs(eta, lam, state.belief_mean)
 
@@ -670,7 +649,7 @@ def internal_variable_pass(state: SimState, params: GbpParams) -> SimState:
 
 def external_factor_pass(state: SimState, params: GbpParams) -> SimState:
     """Inter-robot factor update + message delivery (factorgraph.rs:719-760,
-    routing robot.rs:1803-1831)."""
+    routing robot.rs:1803-1831). Messages are compact rank-1 (state.py)."""
     if not params.interrobot_enabled:
         return state
 
@@ -681,15 +660,16 @@ def external_factor_pass(state: SimState, params: GbpParams) -> SimState:
 
     send_gate = state.active & state.antenna & _not_idle(state)  # [R]
 
-    # linearisation inputs
+    # linearisation inputs; the internal cavity is the belief snapshot where
+    # the variable has ever responded (empty message = zeros otherwise)
     seeded = state.ir_int_seeded  # [R, K, V-1]
     own_mu = state.snap_mu[:, None, 1:, :]  # [R, 1, V-1, 4]
     own_eta = state.snap_eta[:, None, 1:, :]
     own_lam = state.snap_lam[:, None, 1:, :, :]
     s3 = seeded[..., None]
     x_int = jnp.where(s3, own_mu, 0.0)
-    v2f_int_eta = jnp.where(s3, own_eta, 0.0)
-    v2f_int_lam = jnp.where(s3[..., None], own_lam, 0.0)
+    cav_eta = jnp.where(s3, own_eta, 0.0)
+    cav_lam = jnp.where(s3[..., None], own_lam, 0.0)
 
     safety = (params.safety_distance_multiplier * state.radius)[:, None, None]
     safety = jnp.broadcast_to(safety, (R, K, V1))
@@ -705,24 +685,19 @@ def external_factor_pass(state: SimState, params: GbpParams) -> SimState:
         + 1.0
     )
 
-    _, _, ext_eta, ext_lam, _ = F.interrobot_factor_messages(
+    msg = F.interrobot_rank1_messages(
         x_int,
-        state.ir_v2f_ext_mu,
-        v2f_int_eta,
-        v2f_int_lam,
-        state.ir_v2f_ext_eta,
-        state.ir_v2f_ext_lam,
+        state.ir_v2f_ext_pos,
+        cav_eta,
+        cav_lam,
         safety,
         tiny,
         params.sigma_factor_interrobot,
         dtype=f,
-    )
+    )  # [R, K, V-1, 4]
 
     produced = _exp(send_gate, 2) & state.nbr_mask[..., None]  # [R, K, V-1]
-    ir_f2v_ext_eta = jnp.where(produced[..., None], ext_eta, state.ir_f2v_ext_eta)
-    ir_f2v_ext_lam = jnp.where(
-        produced[..., None, None], ext_lam, state.ir_f2v_ext_lam
-    )
+    ir_f2v_ext = jnp.where(produced[..., None], msg, state.ir_f2v_ext)
 
     # delivery: r's variable inbox slot (r, k, i) receives from the factor
     # owned by j = nbr_idx[r,k] at its reciprocal slot. Gated on the sender
@@ -734,27 +709,28 @@ def external_factor_pass(state: SimState, params: GbpParams) -> SimState:
         _exp(recv_gate, 1) & state.nbr_mask & send_gate[src] & has_back
     )[..., None]  # [R, K, 1] broadcast over V-1
 
-    in_eta = _gather_from_peer(ir_f2v_ext_eta, state.nbr_idx, back, state.nbr_mask)
-    in_lam = _gather_from_peer(ir_f2v_ext_lam, state.nbr_idx, back, state.nbr_mask)
-
-    ext_inbox_eta = jnp.where(deliver[..., None], in_eta, state.ext_inbox_eta)
-    ext_inbox_lam = jnp.where(deliver[..., None, None], in_lam, state.ext_inbox_lam)
+    in_msg = _gather_from_peer(ir_f2v_ext, state.nbr_idx, back, state.nbr_mask)
+    ext_inbox = jnp.where(deliver[..., None], in_msg, state.ext_inbox)
 
     iter_count = state.iter_count_factor + send_gate.astype(jnp.int32)
 
     return replace(
         state,
-            ir_f2v_ext_eta=ir_f2v_ext_eta,
-            ir_f2v_ext_lam=ir_f2v_ext_lam,
-            ext_inbox_eta=ext_inbox_eta,
-            ext_inbox_lam=ext_inbox_lam,
+            ir_f2v_ext=ir_f2v_ext,
+            ext_inbox=ext_inbox,
             iter_count_factor=iter_count,
     )
 
 
 def external_variable_pass(state: SimState, params: GbpParams) -> SimState:
     """Belief update + responses to external factors (factorgraph.rs:794-826,
-    routing robot.rs:1843-1858)."""
+    routing robot.rs:1843-1858).
+
+    The response to an external factor is belief − incoming message; of it
+    the factor only ever uses the mean position (the response eta/lam enter
+    only the factor's dropped internal-edge message, state.py), so delivery
+    reduces to a gather of the peer's belief mean positions.
+    """
     if not params.interrobot_enabled:
         return state
 
@@ -772,8 +748,7 @@ def external_variable_pass(state: SimState, params: GbpParams) -> SimState:
         obs_f2v_lam=state.obs_f2v_lam,
         trk_f2v_eta=state.trk_f2v_eta,
         trk_f2v_lam=state.trk_f2v_lam,
-        ext_inbox_eta=state.ext_inbox_eta,
-        ext_inbox_lam=state.ext_inbox_lam,
+        ext_inbox=state.ext_inbox,
     )
     upd = VU.update_beliefs(eta, lam, state.belief_mean)
 
@@ -781,16 +756,11 @@ def external_variable_pass(state: SimState, params: GbpParams) -> SimState:
     belief_lam = jnp.where(g3, upd.lam, state.belief_lam)
     belief_mean = jnp.where(g2, upd.mean, state.belief_mean)
 
-    # responses of r's variables 1..V-1 to each external factor edge
-    resp_eta = belief_eta[:, None, 1:, :] - state.ext_inbox_eta  # [R, K, V-1, 4]
-    resp_lam = belief_lam[:, None, 1:, :, :] - state.ext_inbox_lam
-    resp_mu = jnp.broadcast_to(
-        belief_mean[:, None, 1:, :], state.ext_inbox_eta.shape
-    )
-
     # deliver into the owning factor's inbox: factor (r, k) receives the
-    # response computed by j = nbr_idx[r,k] at its reciprocal slot.
-    back, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask)
+    # response computed by j = nbr_idx[r,k] — the same belief mean for every
+    # reciprocal slot, so a per-robot gather suffices (has_back still gates:
+    # the peer only responds on edges it has a slot for).
+    _, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask)
     src = jnp.clip(state.nbr_idx, 0, R - 1)
     deliver = (
         _exp(gate, 1)        # receiver (factor owner) gate
@@ -799,24 +769,15 @@ def external_variable_pass(state: SimState, params: GbpParams) -> SimState:
         & has_back
     )[..., None]
 
-    in_eta = _gather_from_peer(resp_eta, state.nbr_idx, back, state.nbr_mask)
-    in_lam = _gather_from_peer(resp_lam, state.nbr_idx, back, state.nbr_mask)
-    in_mu = _gather_from_peer(resp_mu, state.nbr_idx, back, state.nbr_mask)
-
-    ir_v2f_ext_eta = jnp.where(deliver[..., None], in_eta, state.ir_v2f_ext_eta)
-    ir_v2f_ext_lam = jnp.where(
-        deliver[..., None, None], in_lam, state.ir_v2f_ext_lam
-    )
-    ir_v2f_ext_mu = jnp.where(deliver[..., None], in_mu, state.ir_v2f_ext_mu)
+    in_pos = _gather_robot(belief_mean[:, 1:, :2], state.nbr_idx, state.nbr_mask)
+    ir_v2f_ext_pos = jnp.where(deliver[..., None], in_pos, state.ir_v2f_ext_pos)
 
     return replace(
         state,
             belief_eta=belief_eta,
             belief_lam=belief_lam,
             belief_mean=belief_mean,
-            ir_v2f_ext_eta=ir_v2f_ext_eta,
-            ir_v2f_ext_lam=ir_v2f_ext_lam,
-            ir_v2f_ext_mu=ir_v2f_ext_mu,
+            ir_v2f_ext_pos=ir_v2f_ext_pos,
     )
 
 

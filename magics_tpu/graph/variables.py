@@ -36,8 +36,7 @@ def sum_messages(
     obs_f2v_lam: jax.Array,    # [R, V-2, 4, 4]
     trk_f2v_eta: jax.Array,    # [R, V-2, 4]
     trk_f2v_lam: jax.Array,    # [R, V-2, 4, 4]
-    ext_inbox_eta: jax.Array,  # [R, K, V-1, 4]
-    ext_inbox_lam: jax.Array,  # [R, K, V-1, 4, 4]
+    ext_inbox: jax.Array,      # [R, K, V-1, 4] compact rank-1 (gx, gy, t, s)
 ) -> tuple[jax.Array, jax.Array]:
     """Aggregate prior + all factor->variable messages per variable."""
     R, V = prior_mean.shape[:2]
@@ -69,9 +68,14 @@ def sum_messages(
         eta = eta + pad_both(obs_f2v_eta) + pad_both(trk_f2v_eta)
         lam = lam + pad_both(obs_f2v_lam) + pad_both(trk_f2v_lam)
 
-    # external inter-robot factors: slot i covers var i+1
-    eta = eta + pad_front(jnp.sum(ext_inbox_eta, axis=1))
-    lam = lam + pad_front(jnp.sum(ext_inbox_lam, axis=1))
+    # external inter-robot factors: slot i covers var i+1; messages arrive in
+    # compact rank-1 form and are expanded during the sum
+    # (factors.rank1_sum — only the 2x2 position block is nonzero)
+    from magics_tpu.graph.factors import rank1_sum
+
+    ext_eta, ext_lam = rank1_sum(ext_inbox, axis=1)
+    eta = eta + pad_front(ext_eta)
+    lam = lam + pad_front(ext_lam)
     return eta, lam
 
 

@@ -44,7 +44,39 @@ _FIELD_DEFAULTS = {
     "viz_trk": lambda R, data: np.zeros(
         (0, R, max(data["prior_mean"].shape[1] - 2, 0), 2), dtype=np.float32
     ),
+    # compact rank-1 inter-robot messages (state.py): derived losslessly from
+    # the dense fields of pre-compaction checkpoints via the gauge
+    # (gx, gy, t, s) ~ (1, lam01/lam00, eta0, lam00) (or the y-axis analogue)
+    "ir_v2f_ext_pos": lambda R, data: np.asarray(
+        data["ir_v2f_ext_mu"][..., :2]
+        if "ir_v2f_ext_mu" in data.files
+        else np.zeros((R,) + data["ir_int_seeded"].shape[1:] + (2,)),
+        dtype=data["prior_mean"].dtype,
+    ),
+    "ir_f2v_ext": lambda R, data: _compact_rank1(
+        data, "ir_f2v_ext_eta", "ir_f2v_ext_lam"
+    ),
+    "ext_inbox": lambda R, data: _compact_rank1(
+        data, "ext_inbox_eta", "ext_inbox_lam"
+    ),
 }
+
+
+def _compact_rank1(data, eta_key: str, lam_key: str) -> np.ndarray:
+    """Old dense (eta [..., 4], lam [..., 4, 4]) -> compact (gx, gy, t, s)."""
+    if eta_key not in data.files:
+        base = data["ir_int_seeded"].shape  # [R, K, V-1]
+        return np.zeros(base + (4,), dtype=data["prior_mean"].dtype)
+    eta = np.asarray(data[eta_key])
+    lam = np.asarray(data[lam_key])
+    l00, l01, l11 = lam[..., 0, 0], lam[..., 0, 1], lam[..., 1, 1]
+    use_x = np.abs(l00) > 0
+    safe00 = np.where(use_x, l00, 1.0)
+    gx = np.where(use_x, 1.0, 0.0)
+    gy = np.where(use_x, l01 / safe00, np.where(np.abs(l11) > 0, 1.0, 0.0))
+    t = np.where(use_x, eta[..., 0], eta[..., 1])
+    s = np.where(use_x, l00, l11)
+    return np.stack([gx, gy, t, s], axis=-1).astype(eta.dtype)
 
 
 def save(

@@ -185,10 +185,12 @@ def merge_state(state: SimState, hot: dict, iter_count: jax.Array) -> SimState:
 
 
 def _ext_sum_hot(state: SimState, rp: int) -> tuple[jax.Array, jax.Array]:
-    """Sum the external inboxes over slots and lift to hot layout, padded to
-    cover all V variables (external factors touch vars 1..V-1)."""
-    eta = jnp.sum(state.ext_inbox_eta, axis=1)  # [R, V1, 4]
-    lam = jnp.sum(state.ext_inbox_lam, axis=1)  # [R, V1, 4, 4]
+    """Sum the external inboxes (compact rank-1) over slots and lift to hot
+    layout, padded to cover all V variables (external factors touch vars
+    1..V-1)."""
+    from magics_tpu.graph.factors import rank1_sum
+
+    eta, lam = rank1_sum(state.ext_inbox, axis=1)  # [R, V1, 4], [R, V1, 4, 4]
     eta_h = _pad_r(jnp.transpose(eta, (2, 1, 0)), rp)  # [4, V1, R]
     lam_h = _pad_r(jnp.transpose(lam, (2, 3, 1, 0)), rp)
     z3 = jnp.zeros(eta_h.shape[:1] + (1,) + eta_h.shape[2:], eta_h.dtype)

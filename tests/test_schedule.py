@@ -97,16 +97,24 @@ def test_scan_schedule_matches_unrolled():
     )
     scan_params = dc.replace(params, scan_schedule=True)
 
+    # Jit BOTH paths: that is the production surface, and a fully-eager run
+    # differs from any compiled run at the fusion-rounding level (~1e-31
+    # relative at the 1e30 endpoint-prior scale), which binary gates
+    # (factor skip, waypoint-reached) amplify over a few ticks.
+    import jax
+
+    step = jax.jit(T.step, static_argnums=2)
     s_unroll, s_scan = state, state
     for _ in range(8):
-        s_unroll = T.step(s_unroll, sdf, params)
-        s_scan = T.step(s_scan, sdf, scan_params)
+        s_unroll = step(s_unroll, sdf, params)
+        s_scan = step(s_scan, sdf, scan_params)
 
     import dataclasses
 
-    # XLA fuses/reassociates differently inside a scan body than in the
-    # unrolled straight-line program, so equality is numerical (1e-12-level),
-    # not bitwise; integer/boolean state must still match exactly.
+    # XLA may fuse/reassociate differently inside a scan body than in the
+    # unrolled straight-line program, so float equality is numerical
+    # (1e-12-level), not guaranteed bitwise; integer/boolean state must
+    # still match exactly.
     for f in dataclasses.fields(s_unroll):
         a = np.asarray(getattr(s_unroll, f.name))
         b = np.asarray(getattr(s_scan, f.name))

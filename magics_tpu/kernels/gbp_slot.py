@@ -670,6 +670,145 @@ def _slot_kernel(p: SlotParams, *refs):
     outs["trk_last_val"][:] = last_val
 
 
+_VAR_IN_FIELDS = (
+    "gate",          # [1, R] f32
+    "belief_eta",    # [4, V, R] (old planes — kept where ~gate)
+    "belief_lam",    # [4, 4, V, R]
+    "belief_mean",   # [4, V, R] (old means — fallback where invalid)
+    "prior_mean",    # [4, V, R]
+    "prior_sigma",   # [V, R]
+    "dyn_f2v_eta",   # [2, 4, V-1, R]
+    "dyn_f2v_lam",   # [2, 4, 4, V-1, R]
+    "obs_f2v_eta",   # [4, V-2, R]
+    "obs_f2v_lam",   # [4, 4, V-2, R]
+    "trk_f2v_eta",   # [4, V-2, R]
+    "trk_f2v_lam",   # [4, 4, V-2, R]
+    "ext_sum_eta",   # [4, V, R]
+    "ext_sum_lam",   # [4, 4, V, R]
+)
+
+_VAR_OUT_FIELDS = ("belief_eta", "belief_lam", "belief_mean")
+
+
+def _variable_kernel(p: SlotParams, *refs):
+    """Variable pass only: belief = prior + all inbox messages, guarded 4x4
+    inverse, mean update. The body of the external variable iteration
+    (factorgraph.rs:794-826) — no responses, no snapshots (the external
+    response reduces to the belief mean, delivered by the caller)."""
+    ins = dict(zip(_VAR_IN_FIELDS, refs[: len(_VAR_IN_FIELDS)]))
+    outs = dict(zip(_VAR_OUT_FIELDS, refs[len(_VAR_IN_FIELDS) :]))
+    V = p.n_vars
+    V1, V2 = V - 1, V - 2
+    f = jnp.float32
+
+    g1 = ins["gate"][:]
+    prior_sigma = ins["prior_sigma"][:]
+    prior_mean = _vec(ins["prior_mean"])
+    vzero = jnp.zeros((1, g1.shape[-1]), f)
+
+    eta = [prior_sigma * prior_mean[i] + ins["ext_sum_eta"][i] for i in range(4)]
+    lam = [
+        [
+            (prior_sigma if i == j else 0.0) + ins["ext_sum_lam"][i, j]
+            for j in range(4)
+        ]
+        for i in range(4)
+    ]
+    for i in range(4):
+        eta[i] = (
+            eta[i]
+            + _shift_pad_back(ins["dyn_f2v_eta"][0, i], vzero)
+            + _shift_pad_front(ins["dyn_f2v_eta"][1, i], vzero)
+        )
+        for j in range(4):
+            lam[i][j] = (
+                lam[i][j]
+                + _shift_pad_back(ins["dyn_f2v_lam"][0, i, j], vzero)
+                + _shift_pad_front(ins["dyn_f2v_lam"][1, i, j], vzero)
+            )
+    if V2 > 0:
+        for i in range(4):
+            interior = ins["obs_f2v_eta"][i] + ins["trk_f2v_eta"][i]
+            eta[i] = eta[i] + jnp.concatenate([vzero, interior, vzero], axis=0)
+            for j in range(4):
+                interior_l = ins["obs_f2v_lam"][i, j] + ins["trk_f2v_lam"][i, j]
+                lam[i][j] = lam[i][j] + jnp.concatenate(
+                    [vzero, interior_l, vzero], axis=0
+                )
+
+    pnz = lam[0][0] > 1e-6
+    for i in range(4):
+        for j in range(4):
+            if i or j:
+                pnz = pnz | (lam[i][j] > 1e-6)
+    cov, det = _inv4_rowscaled(lam)
+    resid = jnp.zeros_like(lam[0][0])
+    finite = jnp.ones_like(pnz)
+    for i in range(4):
+        for j in range(4):
+            r_ij = sum(lam[i][k] * cov[k][j] for k in range(4)) - (
+                1.0 if i == j else 0.0
+            )
+            resid = jnp.maximum(resid, abs(r_ij))
+            finite = finite & jnp.isfinite(cov[i][j])
+    valid = pnz & (det != 0.0) & finite & (resid < 1e-4)
+
+    old_mean = _vec(ins["belief_mean"])
+    mean = [
+        jnp.where(valid, sum(cov[i][k] * eta[k] for k in range(4)), old_mean[i])
+        for i in range(4)
+    ]
+    gb = g1 > 0
+    outs["belief_eta"][:] = _stack_vec(
+        [jnp.where(gb, eta[i], ins["belief_eta"][i]) for i in range(4)]
+    )
+    outs["belief_lam"][:] = _stack_mat(
+        [
+            [jnp.where(gb, lam[i][j], ins["belief_lam"][i, j]) for j in range(4)]
+            for i in range(4)
+        ]
+    )
+    outs["belief_mean"][:] = _stack_vec(
+        [jnp.where(gb, mean[i], old_mean[i]) for i in range(4)]
+    )
+
+
+def variable_slot(
+    hot: dict, p: SlotParams, *, r_tile: int = 128, interpret: bool = False
+) -> dict:
+    """Run the variable-only pass (external GBP slot belief update). `hot`
+    maps _VAR_IN_FIELDS to hot-layout arrays. Returns dict of
+    _VAR_OUT_FIELDS (previous planes kept where ~gate)."""
+    R = hot["gate"].shape[-1]
+    assert R % r_tile == 0, (R, r_tile)
+    grid = (R // r_tile,)
+
+    def spec(arr):
+        lead = arr.shape[:-1]
+        nlead = len(lead)
+
+        def index_map(r, _n=nlead):
+            return (0,) * _n + (r,)
+
+        return pl.BlockSpec(lead + (r_tile,), index_map)
+
+    inputs = [hot[name] for name in _VAR_IN_FIELDS]
+    in_specs = [spec(a) for a in inputs]
+    out_shapes = [
+        jax.ShapeDtypeStruct(hot[n].shape, hot[n].dtype) for n in _VAR_OUT_FIELDS
+    ]
+    out_specs = [spec(hot[n]) for n in _VAR_OUT_FIELDS]
+    outs = pl.pallas_call(
+        partial(_variable_kernel, p),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*inputs)
+    return dict(zip(_VAR_OUT_FIELDS, outs))
+
+
 def internal_slot(hot: dict, p: SlotParams, *, r_tile: int = 128, interpret: bool = False) -> dict:
     """Run the fused internal slot. `hot` maps _IN_FIELDS names to hot-layout
     arrays (R last, a multiple of r_tile). Returns dict of _OUT_FIELDS."""

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from magics_tpu.core.constants import TRACKING_SKIP_FIRST_N_FACTOR_ITERS
 from magics_tpu.graph import factors as F
 from magics_tpu.graph.state import GbpParams, SimState
-from magics_tpu.kernels.gbp_slot import SlotParams, internal_slot
+from magics_tpu.kernels.gbp_slot import SlotParams, internal_slot, variable_slot
 
 
 def _pad_r(x: jax.Array, rp: int) -> jax.Array:
@@ -93,52 +93,17 @@ def to_hot(state: SimState, params: GbpParams, r_tile: int) -> dict:
     return hot
 
 
-def _beliefs_to_state(state: SimState, hot: dict) -> SimState:
-    """Copy hot belief + snapshot planes back into the normal layout, plus
-    the internal factor->variable inboxes: `external_variable_pass` re-sums
-    the variable inboxes (prior + dyn/obs/trk messages + external inbox), so
-    those planes must reflect the internal slots run so far — copying only
-    beliefs leaves it summing stale messages (diverged from the XLA path
-    at the first mixed internal/external slot)."""
+def _snap_to_state(state: SimState, hot: dict) -> SimState:
+    """Copy the hot snapshot planes back into the normal layout — all the
+    external FACTOR pass reads from the variables' side (the internal cavity
+    and linearisation point; beliefs themselves stay hot)."""
     R = state.n_robots
-
-    def u3(x):  # [4, V, R] -> [R, V, 4]
-        return jnp.transpose(x[..., :R], (2, 1, 0))
-
-    def u4(x):
-        return jnp.transpose(x[..., :R], (3, 2, 0, 1))
-
-    def u3s(x):  # [2, 4, V1, R] -> [R, V1, 2, 4]
-        return jnp.transpose(x[..., :R], (3, 2, 0, 1))
-
-    def u4s(x):  # [2, 4, 4, V1, R] -> [R, V1, 2, 4, 4]
-        return jnp.transpose(x[..., :R], (4, 3, 0, 1, 2))
-
     return replace(
         state,
-        belief_eta=u3(hot["belief_eta"]),
-        belief_lam=u4(hot["belief_lam"]),
-        belief_mean=u3(hot["belief_mean"]),
-        snap_eta=u3(hot["snap_eta"]),
-        snap_lam=u4(hot["snap_lam"]),
-        snap_mu=u3(hot["snap_mu"]),
-        dyn_f2v_eta=u3s(hot["dyn_f2v_eta"]),
-        dyn_f2v_lam=u4s(hot["dyn_f2v_lam"]),
-        obs_f2v_eta=u3(hot["obs_f2v_eta"]),
-        obs_f2v_lam=u4(hot["obs_f2v_lam"]),
-        trk_f2v_eta=u3(hot["trk_f2v_eta"]),
-        trk_f2v_lam=u4(hot["trk_f2v_lam"]),
+        snap_eta=jnp.transpose(hot["snap_eta"][..., :R], (2, 1, 0)),
+        snap_lam=jnp.transpose(hot["snap_lam"][..., :R], (3, 2, 0, 1)),
+        snap_mu=jnp.transpose(hot["snap_mu"][..., :R], (2, 1, 0)),
     )
-
-
-def _beliefs_to_hot(hot: dict, state: SimState, rp: int) -> dict:
-    """Refresh hot belief planes from the normal layout (after an external
-    variable pass; snapshots are untouched by external passes)."""
-    hot = dict(hot)
-    hot["belief_eta"] = _pad_r(jnp.transpose(state.belief_eta, (2, 1, 0)), rp)
-    hot["belief_lam"] = _pad_r(jnp.transpose(state.belief_lam, (2, 3, 1, 0)), rp)
-    hot["belief_mean"] = _pad_r(jnp.transpose(state.belief_mean, (2, 1, 0)), rp)
-    return hot
 
 
 def merge_state(state: SimState, hot: dict, iter_count: jax.Array) -> SimState:
@@ -283,13 +248,64 @@ def iterate_gbp_hot(
                         st.ir_int_seeded,
                     ),
                 )
-        if e_flag:
-            st = _beliefs_to_state(st, hot)
+        if e_flag and params.interrobot_enabled:
+            # ---- external factor pass: XLA on the compact rank-1 state ----
+            st = _snap_to_state(st, hot)
             st = replace(st, iter_count_factor=ic)
             st = T.external_factor_pass(st, params)
-            st = T.external_variable_pass(st, params)
             ic = st.iter_count_factor
-            hot = _beliefs_to_hot(hot, st, rp)
-            ext_dirty = True
+
+            # ---- external variable pass: belief update in the Pallas
+            # variable-only kernel on the hot planes ----
+            ext_gate_r = st.active & st.antenna & (st.mission_active | st.completed)
+            ext_gate_h = _pad_r(ext_gate_r.astype(f)[None, :], rp)
+            ext_sum = _ext_sum_hot(st, rp)
+            ext_dirty = False
+            outs = variable_slot(
+                {
+                    "gate": ext_gate_h,
+                    "belief_eta": hot["belief_eta"],
+                    "belief_lam": hot["belief_lam"],
+                    "belief_mean": hot["belief_mean"],
+                    "prior_mean": hot["prior_mean"],
+                    "prior_sigma": hot["prior_sigma"],
+                    "dyn_f2v_eta": hot["dyn_f2v_eta"],
+                    "dyn_f2v_lam": hot["dyn_f2v_lam"],
+                    "obs_f2v_eta": hot["obs_f2v_eta"],
+                    "obs_f2v_lam": hot["obs_f2v_lam"],
+                    "trk_f2v_eta": hot["trk_f2v_eta"],
+                    "trk_f2v_lam": hot["trk_f2v_lam"],
+                    "ext_sum_eta": ext_sum[0],
+                    "ext_sum_lam": ext_sum[1],
+                },
+                sp,
+                r_tile=r_tile,
+                interpret=interpret,
+            )
+            hot = {**hot, **outs}
+
+            # ---- response delivery (robot.rs:1843-1858): the factor only
+            # uses the responder's belief mean position (graph/tick.py) ----
+            bm_pos = jnp.transpose(
+                hot["belief_mean"][:2, 1:, :R], (2, 1, 0)
+            )  # [R, V-1, 2]
+            _, has_back = T.compute_back_slots(st.nbr_idx, st.nbr_mask)
+            src = jnp.clip(st.nbr_idx, 0, R - 1)
+            deliver = (
+                ext_gate_r[:, None]
+                & st.nbr_mask
+                & ext_gate_r[src]
+                & has_back
+            )[..., None]
+            safe = jnp.clip(st.nbr_idx, 0, R - 1)
+            in_pos = jnp.where(
+                (st.nbr_mask)[..., None, None], bm_pos[safe], 0
+            )
+            st = replace(
+                st,
+                ir_v2f_ext_pos=jnp.where(
+                    deliver[..., None], in_pos, st.ir_v2f_ext_pos
+                ),
+            )
 
     return merge_state(st, hot, ic)

@@ -129,15 +129,18 @@ def grid_overflow(spec: GridSpec, pos: jax.Array, active: jax.Array) -> jax.Arra
 
 def candidate_neighbours(
     spec: GridSpec,
-    cell: jax.Array,       # [R]
-    bucket: jax.Array,     # [n_cells, C]
-    active: jax.Array,     # [R]
+    cell: jax.Array,       # [R] (local rows when sharded)
+    bucket: jax.Array,     # [n_cells, C] — GLOBAL bucket table
+    active: jax.Array,     # [R] (local rows when sharded)
+    row_ids: jax.Array | None = None,  # [R] global ids of the rows; None = arange
 ) -> tuple[jax.Array, jax.Array]:
     """For each robot, the ids of all robots bucketed in its stencil.
 
     Returns (cand_idx [R, M] int32 with -1 invalid, cand_mask [R, M]); the
     self pair is masked out. Cells in the stencil that fall off the grid are
-    masked rather than clamped, so no candidate appears twice.
+    masked rather than clamped, so no candidate appears twice. Bucket entries
+    are global robot ids; when the caller shards robots, `cell`/`active` are
+    the local rows and `row_ids` their global ids (for self-pair masking).
     """
     R = cell.shape[0]
     cx = cell % spec.nx
@@ -160,7 +163,7 @@ def candidate_neighbours(
     cand = jnp.where(valid_cell[..., None], cand, -1)
     cand = cand.reshape(R, -1)                          # [R, M]
 
-    me = jnp.arange(R, dtype=jnp.int32)[:, None]
+    me = (jnp.arange(R, dtype=jnp.int32) if row_ids is None else row_ids)[:, None]
     mask = (cand >= 0) & (cand != me) & active[:, None]
     # inactive robots are never bucketed, so cand >= 0 implies active[cand]
     return jnp.where(mask, cand, -1), mask

@@ -27,6 +27,7 @@ from magics_tpu.core.constants import DOFS, TRACKING_SKIP_FIRST_N_FACTOR_ITERS
 from magics_tpu.graph import factors as F
 from magics_tpu.graph import variables as VU
 from magics_tpu.graph.state import GbpParams, SimState
+from magics_tpu.parallel.comm import LOCAL
 
 
 # --------------------------------------------------------------------------
@@ -45,26 +46,32 @@ def _where_rows(gate_r: jax.Array, new, old):
     )
 
 
-def compute_back_slots(nbr_idx: jax.Array, nbr_mask: jax.Array):
+def compute_back_slots(nbr_idx: jax.Array, nbr_mask: jax.Array, comm=LOCAL):
     """back[r, k] = slot k' on robot j = nbr_idx[r,k] with nbr_idx[j,k'] == r.
 
     Inter-robot connections are created symmetrically
     (robot.rs:1441-1586), so an active slot always has a reciprocal slot;
     `has_back` guards transient asymmetry (e.g. capacity overflow).
+    Neighbour ids are *global* robot ids; under a sharded comm the peers'
+    slot tables arrive via all_gather.
     """
-    R, K = nbr_idx.shape
+    Rl, K = nbr_idx.shape
+    nbr_all = comm.all_robots(nbr_idx)     # [R_total, K]
+    R = nbr_all.shape[0]
     safe = jnp.clip(nbr_idx, 0, R - 1)
-    their_rows = nbr_idx[safe]            # [R, K, K]
-    me = jnp.arange(R, dtype=nbr_idx.dtype)[:, None, None]
-    eq = their_rows == me                  # [R, K, K]
+    their_rows = nbr_all[safe]             # [Rl, K, K]
+    me = comm.row_ids(Rl).astype(nbr_idx.dtype)[:, None, None]
+    eq = their_rows == me                  # [Rl, K, K]
     back = jnp.argmax(eq, axis=-1).astype(jnp.int32)
     has_back = jnp.any(eq, axis=-1) & nbr_mask
     return back, has_back
 
 
 def _gather_from_peer(arr: jax.Array, nbr_idx, back, mask):
-    """out[r, k, ...] = arr[nbr_idx[r,k], back[r,k], ...], 0 where ~mask."""
-    R, K = nbr_idx.shape
+    """out[r, k, ...] = arr[nbr_idx[r,k], back[r,k], ...], 0 where ~mask.
+    `arr` must be a GLOBAL [R_total, K, ...] array (comm.all_robots'd)."""
+    R = arr.shape[0]
+    K = arr.shape[1]
     safe_i = jnp.clip(nbr_idx, 0, R - 1)
     safe_b = jnp.clip(back, 0, K - 1)
     out = arr[safe_i, safe_b]
@@ -72,7 +79,8 @@ def _gather_from_peer(arr: jax.Array, nbr_idx, back, mask):
 
 
 def _gather_robot(arr: jax.Array, nbr_idx, mask):
-    """out[r, k, ...] = arr[nbr_idx[r,k], ...], 0 where ~mask."""
+    """out[r, k, ...] = arr[nbr_idx[r,k], ...], 0 where ~mask.
+    `arr` must be a GLOBAL [R_total, ...] array (comm.all_robots'd)."""
     R = arr.shape[0]
     safe = jnp.clip(nbr_idx, 0, R - 1)
     out = arr[safe]
@@ -148,22 +156,26 @@ def check_waypoints(state: SimState, params: GbpParams) -> SimState:
     )
 
 
-def update_failed_comms(state: SimState, params: GbpParams) -> SimState:
-    """Bernoulli antenna failure per robot per tick (robot.rs:1593-1601)."""
+def update_failed_comms(state: SimState, params: GbpParams, comm=LOCAL) -> SimState:
+    """Bernoulli antenna failure per robot per tick (robot.rs:1593-1601).
+
+    The draw is always over the GLOBAL robot axis from the replicated key,
+    each shard keeping its rows — so the failure pattern is bit-identical
+    across shardings (SURVEY.md §7 hard part (e))."""
     if params.comms_failure_rate <= 0.0:
         return replace(state, antenna=jnp.ones_like(state.antenna))
+    Rl = state.antenna.shape[0]
+    R = Rl * getattr(comm, "n_shards", 1)
     key, sub = jax.random.split(state.rng)
-    off = jax.random.bernoulli(
-        sub, params.comms_failure_rate, shape=state.antenna.shape
-    )
-    return replace(state, antenna=~off, rng=key)
+    off = jax.random.bernoulli(sub, params.comms_failure_rate, shape=(R,))
+    return replace(state, antenna=~comm.take_rows(off, Rl), rng=key)
 
 
 # --------------------------------------------------------------------------
 # connectivity (delete/create inter-robot factors)
 # --------------------------------------------------------------------------
 
-def update_connectivity(state: SimState, params: GbpParams) -> SimState:
+def update_connectivity(state: SimState, params: GbpParams, comm=LOCAL) -> SimState:
     """Neighbour discovery + inter-robot factor lifecycle.
 
     Reference: update_robot_neighbours (O(N^2) range check,
@@ -173,17 +185,25 @@ def update_connectivity(state: SimState, params: GbpParams) -> SimState:
     state; new slots seed the factor's external-variable inbox with the
     neighbour's current belief (the reference's initial message exchange,
     robot.rs:1547-1585).
+
+    Pairwise matrices are [R_local, R_total]: local rows scan all robots'
+    (gathered) positions — columns index global robot ids throughout.
     """
-    R, K = state.nbr_idx.shape
+    Rl, K = state.nbr_idx.shape
+    pos_all = comm.all_robots(state.pos)      # [R, 2]
+    act_all = comm.all_robots(state.active)   # [R]
+    R = act_all.shape[0]
     act = state.active
+    me = comm.row_ids(Rl)                     # [Rl] global ids of local rows
 
-    diff = state.pos[:, None, :] - state.pos[None, :, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
+    diff = state.pos[:, None, :] - pos_all[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)        # [Rl, R]
     radius2 = params.comms_radius * params.comms_radius
-    eye = jnp.eye(R, dtype=bool)
-    in_range = (d2 <= radius2) & ~eye & act[:, None] & act[None, :]
+    cols = jnp.arange(R, dtype=jnp.int32)
+    not_self = cols[None, :] != me[:, None]
+    in_range = (d2 <= radius2) & not_self & act[:, None] & act_all[None, :]
 
-    rows = jnp.arange(R)[:, None]
+    rows = jnp.arange(Rl)[:, None]
 
     # keep slots whose pair is still in range
     safe_idx = jnp.clip(state.nbr_idx, 0, R - 1)
@@ -192,11 +212,11 @@ def update_connectivity(state: SimState, params: GbpParams) -> SimState:
     # connected matrix from kept slots — compare-reduce, not scatter
     kept_ids = jnp.where(keep, state.nbr_idx, -1)
     conn = jnp.any(
-        kept_ids[:, :, None] == jnp.arange(R, dtype=jnp.int32)[None, None, :],
+        kept_ids[:, :, None] == cols[None, None, :],
         axis=1,
-    )  # [R, R]
+    )  # [Rl, R]
 
-    new_pair = in_range & ~conn  # [R, R]
+    new_pair = in_range & ~conn  # [Rl, R]
 
     # Assign new neighbours (ascending id — the reference's BTreeSet
     # iteration order) to free slots (ascending k). Formulated as
@@ -212,39 +232,48 @@ def update_connectivity(state: SimState, params: GbpParams) -> SimState:
     new_id = jnp.take_along_axis(cand_id, jnp.clip(free_rank, 0, K - 1), axis=1)
     nbr_idx_new = jnp.where(~keep & (free_rank >= 0), new_id, -1)
     nbr_idx_new = jnp.where(keep, state.nbr_idx, nbr_idx_new)
-    return _finish_connectivity(state, keep, nbr_idx_new)
+    return _finish_connectivity(state, keep, nbr_idx_new, comm)
 
 
-def update_connectivity_grid(state: SimState, params: GbpParams) -> SimState:
+def update_connectivity_grid(state: SimState, params: GbpParams, comm=LOCAL) -> SimState:
     """Grid-accelerated connectivity (graph/grid.py): same semantics as
     `update_connectivity` — kept slots re-checked by exact distance, new
     in-range pairs assigned to free slots in ascending-id order — but the
     pair search runs over the stencil candidates instead of all R^2 pairs."""
     from magics_tpu.graph import grid as G
 
-    R, K = state.nbr_idx.shape
+    Rl, K = state.nbr_idx.shape
+    pos_all = comm.all_robots(state.pos)      # [R, 2]
+    act_all = comm.all_robots(state.active)   # [R]
+    R = act_all.shape[0]
     spec = G.make_grid_spec(
         (params.world_width, params.world_height),
         params.grid_cell_size,
         params.comms_radius,
         params.grid_capacity,
     )
-    cell, bucket = G.build_grid(spec, state.pos, state.active)
-    cand_idx, cand_mask = G.candidate_neighbours(spec, cell, bucket, state.active)
+    # the bucket table is global (every shard builds it from the gathered
+    # positions — one [R] sort, cheap and identical everywhere); candidate
+    # lookups run on the local rows only
+    _, bucket = G.build_grid(spec, pos_all, act_all)
+    cell_l = G.cell_ids(spec, state.pos, state.active)
+    cand_idx, cand_mask = G.candidate_neighbours(
+        spec, cell_l, bucket, state.active, row_ids=comm.row_ids(Rl)
+    )
     radius2 = params.comms_radius * params.comms_radius
 
     # keep existing slots by exact distance (both endpoints alive)
     safe = jnp.clip(state.nbr_idx, 0, R - 1)
-    d2_slot = jnp.sum((state.pos[:, None, :] - state.pos[safe]) ** 2, axis=-1)
+    d2_slot = jnp.sum((state.pos[:, None, :] - pos_all[safe]) ** 2, axis=-1)
     keep = (
         state.nbr_mask
         & state.active[:, None]
-        & state.active[safe]
+        & act_all[safe]
         & (d2_slot <= radius2)
     )
 
     # in-range candidates not already connected
-    cpos = state.pos[jnp.clip(cand_idx, 0, R - 1)]          # [R, M, 2]
+    cpos = pos_all[jnp.clip(cand_idx, 0, R - 1)]            # [Rl, M, 2]
     d2 = jnp.sum((state.pos[:, None, :] - cpos) ** 2, axis=-1)
     in_range = cand_mask & (d2 <= radius2)
     kept_ids = jnp.where(keep, state.nbr_idx, -2)
@@ -266,11 +295,11 @@ def update_connectivity_grid(state: SimState, params: GbpParams) -> SimState:
     valid = ~keep & (free_rank >= 0) & (free_rank < M) & (new_id < R)
     nbr_idx_new = jnp.where(valid, new_id, -1).astype(jnp.int32)
     nbr_idx_new = jnp.where(keep, state.nbr_idx, nbr_idx_new)
-    return _finish_connectivity(state, keep, nbr_idx_new)
+    return _finish_connectivity(state, keep, nbr_idx_new, comm)
 
 
 def _finish_connectivity(
-    state: SimState, keep: jax.Array, nbr_idx_new: jax.Array
+    state: SimState, keep: jax.Array, nbr_idx_new: jax.Array, comm=LOCAL
 ) -> SimState:
     """Shared connectivity tail: reciprocity enforcement, message-state reset
     for churned slots, and the new-factor belief seeding (robot.rs:1547-1585)."""
@@ -278,7 +307,7 @@ def _finish_connectivity(
     mask_new = keep | is_new
 
     # enforce reciprocity (both sides allocated a slot)
-    back, has_back = compute_back_slots(nbr_idx_new, mask_new)
+    back, has_back = compute_back_slots(nbr_idx_new, mask_new, comm)
     mask_new = mask_new & has_back
     is_new = is_new & mask_new
 
@@ -298,7 +327,7 @@ def _finish_connectivity(
     # robot.rs:1556-1566 — only the position enters the factor maths, see
     # state.py). Variables 1..V-1 of the neighbour map to chain slots 0..V-2.
     nbr_belief_pos = _gather_robot(
-        state.belief_mean[..., :2], nbr_idx_new, is_new
+        comm.all_robots(state.belief_mean[..., :2]), nbr_idx_new, is_new
     )[:, :, 1:, :]
     ir_v2f_ext_pos = jnp.where(_exp(is_new, 2), nbr_belief_pos, ir_v2f_ext_pos)
 
@@ -317,7 +346,7 @@ def _finish_connectivity(
 # prior updates
 # --------------------------------------------------------------------------
 
-def update_prior_horizon(state: SimState, params: GbpParams) -> SimState:
+def update_prior_horizon(state: SimState, params: GbpParams, comm=LOCAL) -> SimState:
     """`update_prior_of_horizon_state` (robot.rs:2182-2283).
 
     The horizon variable's prior mean is pulled towards the next waypoint at
@@ -392,11 +421,13 @@ def update_prior_horizon(state: SimState, params: GbpParams) -> SimState:
     # robot.rs:2272-2282): the factor owned by (j, k) at chain slot V-2 has
     # r = nbr_idx[j, k]'s horizon variable as its external variable. Only the
     # response's mean position enters the factor maths (state.py).
-    src = jnp.clip(state.nbr_idx, 0, R - 1)  # [R, K] — j's neighbour r
-    sent = gate[src] & state.nbr_mask        # r actually changed its prior
+    gate_all = comm.all_robots(gate)                    # [R_total]
+    new_mean_all = comm.all_robots(new_mean)            # [R_total, 4]
+    src = jnp.clip(state.nbr_idx, 0, gate_all.shape[0] - 1)  # j's neighbour r
+    sent = gate_all[src] & state.nbr_mask    # r actually changed its prior
     ir_v2f_ext_pos = state.ir_v2f_ext_pos.at[:, :, V - 2].set(
         jnp.where(
-            _exp(sent, 1), new_mean[src][..., :2],
+            _exp(sent, 1), new_mean_all[src][..., :2],
             state.ir_v2f_ext_pos[:, :, V - 2],
         )
     )
@@ -647,7 +678,7 @@ def internal_variable_pass(state: SimState, params: GbpParams) -> SimState:
     return replace(state, **updates)
 
 
-def external_factor_pass(state: SimState, params: GbpParams) -> SimState:
+def external_factor_pass(state: SimState, params: GbpParams, comm=LOCAL) -> SimState:
     """Inter-robot factor update + message delivery (factorgraph.rs:719-760,
     routing robot.rs:1803-1831). Messages are compact rank-1 (state.py)."""
     if not params.interrobot_enabled:
@@ -657,6 +688,7 @@ def external_factor_pass(state: SimState, params: GbpParams) -> SimState:
     V = state.prior_mean.shape[1]
     V1 = V - 1
     f = state.prior_mean.dtype
+    gids = comm.row_ids(R).astype(f)  # global robot ids of local rows
 
     send_gate = state.active & state.antenna & _not_idle(state)  # [R]
 
@@ -679,7 +711,7 @@ def external_factor_pass(state: SimState, params: GbpParams) -> SimState:
     # keep per-factor-distinct values — but slot-deterministic instead of
     # creation-order-dependent, so results are reproducible across shardings.
     tiny = jnp.asarray(1e-6, f) * (
-        jnp.arange(R, dtype=f)[:, None, None] * (K * V1)
+        gids[:, None, None] * (K * V1)
         + jnp.arange(K, dtype=f)[None, :, None] * V1
         + jnp.arange(V1, dtype=f)[None, None, :]
         + 1.0
@@ -701,15 +733,20 @@ def external_factor_pass(state: SimState, params: GbpParams) -> SimState:
 
     # delivery: r's variable inbox slot (r, k, i) receives from the factor
     # owned by j = nbr_idx[r,k] at its reciprocal slot. Gated on the sender
-    # having produced this pass and the receiver's antenna/mission.
-    back, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask)
+    # having produced this pass and the receiver's antenna/mission. Under a
+    # sharded comm the peers' outboxes and send gates arrive via all_gather —
+    # THE inter-robot message exchange over ICI/DCN (SURVEY.md §2.4).
+    back, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask, comm)
     recv_gate = state.active & state.antenna & _not_idle(state)
-    src = jnp.clip(state.nbr_idx, 0, R - 1)
+    send_gate_all = comm.all_robots(send_gate)
+    src = jnp.clip(state.nbr_idx, 0, send_gate_all.shape[0] - 1)
     deliver = (
-        _exp(recv_gate, 1) & state.nbr_mask & send_gate[src] & has_back
+        _exp(recv_gate, 1) & state.nbr_mask & send_gate_all[src] & has_back
     )[..., None]  # [R, K, 1] broadcast over V-1
 
-    in_msg = _gather_from_peer(ir_f2v_ext, state.nbr_idx, back, state.nbr_mask)
+    in_msg = _gather_from_peer(
+        comm.all_robots(ir_f2v_ext), state.nbr_idx, back, state.nbr_mask
+    )
     ext_inbox = jnp.where(deliver[..., None], in_msg, state.ext_inbox)
 
     iter_count = state.iter_count_factor + send_gate.astype(jnp.int32)
@@ -722,7 +759,7 @@ def external_factor_pass(state: SimState, params: GbpParams) -> SimState:
     )
 
 
-def external_variable_pass(state: SimState, params: GbpParams) -> SimState:
+def external_variable_pass(state: SimState, params: GbpParams, comm=LOCAL) -> SimState:
     """Belief update + responses to external factors (factorgraph.rs:794-826,
     routing robot.rs:1843-1858).
 
@@ -760,16 +797,19 @@ def external_variable_pass(state: SimState, params: GbpParams) -> SimState:
     # response computed by j = nbr_idx[r,k] — the same belief mean for every
     # reciprocal slot, so a per-robot gather suffices (has_back still gates:
     # the peer only responds on edges it has a slot for).
-    _, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask)
-    src = jnp.clip(state.nbr_idx, 0, R - 1)
+    _, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask, comm)
+    gate_all = comm.all_robots(gate)
+    src = jnp.clip(state.nbr_idx, 0, gate_all.shape[0] - 1)
     deliver = (
         _exp(gate, 1)        # receiver (factor owner) gate
         & state.nbr_mask
-        & gate[src]          # sender produced this pass
+        & gate_all[src]      # sender produced this pass
         & has_back
     )[..., None]
 
-    in_pos = _gather_robot(belief_mean[:, 1:, :2], state.nbr_idx, state.nbr_mask)
+    in_pos = _gather_robot(
+        comm.all_robots(belief_mean[:, 1:, :2]), state.nbr_idx, state.nbr_mask
+    )
     ir_v2f_ext_pos = jnp.where(deliver[..., None], in_pos, state.ir_v2f_ext_pos)
 
     return replace(
@@ -781,7 +821,7 @@ def external_variable_pass(state: SimState, params: GbpParams) -> SimState:
     )
 
 
-def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
+def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams, comm=LOCAL) -> SimState:
     """`iterate_gbp_v2` (robot.rs:1769-1861): run the iteration schedule.
 
     The schedule flags are static, so the loop unrolls at trace time: no
@@ -798,6 +838,7 @@ def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
         return iterate_gbp_hot(
             state, sdf, params,
             r_tile=params.pallas_r_tile, interpret=params.pallas_interpret,
+            comm=comm,
         )
 
     def slot(state, internal_flag, external_flag):
@@ -805,8 +846,8 @@ def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
             state = internal_factor_pass(state, sdf, params)
             state = internal_variable_pass(state, params)
         if external_flag:
-            state = external_factor_pass(state, params)
-            state = external_variable_pass(state, params)
+            state = external_factor_pass(state, params, comm)
+            state = external_variable_pass(state, params, comm)
         return state
 
     if params.scan_schedule:
@@ -837,7 +878,7 @@ def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams) -> SimState:
     return state
 
 
-def update_message_counts(state: SimState, params: GbpParams) -> SimState:
+def update_message_counts(state: SimState, params: GbpParams, comm=LOCAL) -> SimState:
     """Per-robot message counters (factorgraph/mod.rs:28-125, summed per
     graph factorgraph.rs:874-890): internal/external x sent/received.
 
@@ -877,15 +918,16 @@ def update_message_counts(state: SimState, params: GbpParams) -> SimState:
     ext_sent = jnp.zeros((R,), jnp.int32)
     ext_recv = jnp.zeros((R,), jnp.int32)
     if params.interrobot_enabled and n_ext > 0:
-        back, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask)
-        src = jnp.clip(state.nbr_idx, 0, R - 1)
+        back, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask, comm)
+        send_gate_all = comm.all_robots(send_gate)
+        src = jnp.clip(state.nbr_idx, 0, send_gate_all.shape[0] - 1)
         # factor pass: each of r's ir factors sends (V-1) messages to the
         # external variable; delivery gated on receiver antenna/mission
         produced = send_gate[:, None] * state.nbr_mask.astype(jnp.int32)
         deliver = (
             (send_gate[:, None] > 0)
             & state.nbr_mask
-            & (send_gate[src] > 0)
+            & (send_gate_all[src] > 0)
             & has_back
         ).astype(jnp.int32)
         # explicit int32: under x64 jnp.sum promotes int32 to int64, which
@@ -909,24 +951,36 @@ def update_message_counts(state: SimState, params: GbpParams) -> SimState:
 # --------------------------------------------------------------------------
 
 def update_collisions(
-    state: SimState, params: GbpParams, env_dist: jax.Array | None = None
+    state: SimState, params: GbpParams, env_dist: jax.Array | None = None,
+    comm=LOCAL,
 ) -> SimState:
     """Robot-robot (bounding spheres) and robot-environment collision events
     with hysteresis (collisions.rs:72-140,146-227). `env_dist` is the
-    euclidean distance field (meters to nearest obstacle pixel)."""
-    R = state.pos.shape[0]
-    diff = state.pos[:, None, :] - state.pos[None, :, :]
+    euclidean distance field (meters to nearest obstacle pixel).
+
+    The pairwise matrices are [R_local, R_total] (rows local, columns global);
+    the global event count is a psum and the per-column partner counts come
+    back via reduce-scatter."""
+    Rl = state.pos.shape[0]
+    pos_all = comm.all_robots(state.pos)
+    rad_all = comm.all_robots(state.radius)
+    act_all = comm.all_robots(state.active)
+    R = act_all.shape[0]
+    me = comm.row_ids(Rl)
+    cols = jnp.arange(R, dtype=jnp.int32)
+
+    diff = state.pos[:, None, :] - pos_all[None, :, :]
     d2 = jnp.sum(diff * diff, axis=-1)
-    rsum = state.radius[:, None] + state.radius[None, :]
+    rsum = state.radius[:, None] + rad_all[None, :]
     act = state.active
-    upper = jnp.triu(jnp.ones((R, R), dtype=bool), k=1)
-    pair_overlap = (d2 < rsum * rsum) & upper & act[:, None] & act[None, :]
+    upper = cols[None, :] > me[:, None]
+    pair_overlap = (d2 < rsum * rsum) & upper & act[:, None] & act_all[None, :]
     new_pair = pair_overlap & ~state.rr_overlap
-    new_events = jnp.sum(new_pair)
+    new_events = comm.psum(jnp.sum(new_pair))
     rr_count = (
         state.rr_count
         + jnp.sum(new_pair, axis=1).astype(jnp.int32)
-        + jnp.sum(new_pair, axis=0).astype(jnp.int32)
+        + comm.scatter_rows(jnp.sum(new_pair, axis=0)).astype(jnp.int32)
     )
 
     updates = dict(
@@ -936,8 +990,14 @@ def update_collisions(
     )
 
     # event AABB recording (export.rs:171-185): intersection box of the two
-    # robots' disc AABBs, appended to a ring buffer
+    # robots' disc AABBs, appended to a ring buffer. Experiment-scale only —
+    # the ring-buffer write order is global, so it stays single-shard.
     C = state.rr_events.shape[0]
+    if C > 0 and getattr(comm, "n_shards", 1) > 1:
+        raise NotImplementedError(
+            "collision event AABB recording is single-shard only "
+            "(set collision_log_capacity=0 for sharded runs)"
+        )
     if C > 0:
         f = state.pos.dtype
         flat = new_pair.reshape(-1)  # [R*R]
@@ -966,13 +1026,13 @@ def update_collisions(
         )
 
     if env_dist is not None:
-        updates.update(_env_collision_updates(state, params, env_dist))
+        updates.update(_env_collision_updates(state, params, env_dist, comm))
 
     return replace(state, **updates)
 
 
 def _env_collision_updates(
-    state: SimState, params: GbpParams, env_dist: jax.Array
+    state: SimState, params: GbpParams, env_dist: jax.Array, comm=LOCAL
 ) -> dict:
     """Robot-environment overlap via the euclidean distance field
     (collisions.rs:108-140), shared by the dense and grid paths."""
@@ -987,7 +1047,8 @@ def _env_collision_updates(
     new_re = re_overlap & ~state.re_overlap
     updates = dict(
         re_overlap=re_overlap,
-        re_collisions=state.re_collisions + jnp.sum(new_re).astype(jnp.int32),
+        re_collisions=state.re_collisions
+        + comm.psum(jnp.sum(new_re)).astype(jnp.int32),
         re_count=state.re_count + new_re.astype(jnp.int32),
     )
     C = state.re_events.shape[0]
@@ -1013,7 +1074,8 @@ def _env_collision_updates(
 
 
 def update_collisions_grid(
-    state: SimState, params: GbpParams, env_dist: jax.Array | None = None
+    state: SimState, params: GbpParams, env_dist: jax.Array | None = None,
+    comm=LOCAL,
 ) -> SimState:
     """Grid-mode robot-robot collision events. Hysteresis is tracked with a
     per-robot table of currently-overlapping partner ids ([R, P], lowest ids
@@ -1023,8 +1085,12 @@ def update_collisions_grid(
     with the a < b convention)."""
     from magics_tpu.graph import grid as G
 
-    R = state.pos.shape[0]
+    Rl = state.pos.shape[0]
     P = state.rr_partner.shape[1]
+    pos_all = comm.all_robots(state.pos)
+    rad_all = comm.all_robots(state.radius)
+    act_all = comm.all_robots(state.active)
+    R = act_all.shape[0]
     # The collision stencil must cover the largest overlapping pair
     # (d < radius_i + radius_j <= 2 * max_robot_radius) — NOT the comms
     # radius, which is an unrelated parameter and may be smaller. A
@@ -1035,13 +1101,16 @@ def update_collisions_grid(
         2.0 * params.max_robot_radius,
         params.grid_capacity,
     )
-    cell, bucket = G.build_grid(spec, state.pos, state.active)
-    cand_idx, cand_mask = G.candidate_neighbours(spec, cell, bucket, state.active)
+    _, bucket = G.build_grid(spec, pos_all, act_all)
+    cell_l = G.cell_ids(spec, state.pos, state.active)
+    cand_idx, cand_mask = G.candidate_neighbours(
+        spec, cell_l, bucket, state.active, row_ids=comm.row_ids(Rl)
+    )
 
     safe = jnp.clip(cand_idx, 0, R - 1)
-    d2 = jnp.sum((state.pos[:, None, :] - state.pos[safe]) ** 2, axis=-1)
-    rsum = state.radius[:, None] + state.radius[safe]
-    overlap = cand_mask & (d2 < rsum * rsum)                 # [R, M]
+    d2 = jnp.sum((state.pos[:, None, :] - pos_all[safe]) ** 2, axis=-1)
+    rsum = state.radius[:, None] + rad_all[safe]
+    overlap = cand_mask & (d2 < rsum * rsum)                 # [Rl, M]
 
     # current partner table: the P lowest overlapping ids. Partners beyond P
     # are dropped — counted in rr_partner_overflow so truncation is visible
@@ -1054,9 +1123,10 @@ def update_collisions_grid(
 
     prev = state.rr_partner
     is_new = (cur >= 0) & ~jnp.any(cur[:, :, None] == prev[:, None, :], axis=-1)
-    me = jnp.arange(R, dtype=jnp.int32)[:, None]
+    me = comm.row_ids(Rl)[:, None]
     once = is_new & (cur > me)                               # count each pair once
-    new_events = jnp.sum(once).astype(jnp.int32)
+    new_events = comm.psum(jnp.sum(once)).astype(jnp.int32)
+    dropped = comm.psum(dropped).astype(jnp.int32)
 
     updates = dict(
         rr_partner=cur,
@@ -1066,6 +1136,11 @@ def update_collisions_grid(
     )
 
     C = state.rr_events.shape[0]
+    if C > 0 and getattr(comm, "n_shards", 1) > 1:
+        raise NotImplementedError(
+            "collision event AABB recording is single-shard only "
+            "(set collision_log_capacity=0 for sharded runs)"
+        )
     if C > 0:
         f = state.pos.dtype
         flat = once.reshape(-1)                              # [R*P]
@@ -1127,8 +1202,13 @@ def step(
     sdf: jax.Array,
     params: GbpParams,
     env_dist: jax.Array | None = None,
+    comm=LOCAL,
 ) -> SimState:
     """One FixedUpdate tick (robot.rs:86-108 system chain).
+
+    `comm` is the communication backend (parallel/comm.py): LOCAL for one
+    address space (single chip, or GSPMD-partitioned under plain jit over
+    sharded inputs), a ShardComm inside shard_map for explicit collectives.
 
     Matmul precision is pinned to `highest`: on TPU the default lowers f32
     matmul inputs to bf16, whose ~8-bit mantissa breaks the information-form
@@ -1140,18 +1220,18 @@ def step(
         state = activate_due_spawns(state)
         state = check_waypoints(state, params)
         if params.use_grid:
-            state = update_connectivity_grid(state, params)
+            state = update_connectivity_grid(state, params, comm)
         else:
-            state = update_connectivity(state, params)
-        state = update_failed_comms(state, params)
-        state = update_prior_horizon(state, params)
+            state = update_connectivity(state, params, comm)
+        state = update_failed_comms(state, params, comm)
+        state = update_prior_horizon(state, params, comm)
         state = update_prior_current(state, params)
-        state = iterate_gbp(state, sdf, params)
-        state = update_message_counts(state, params)
+        state = iterate_gbp(state, sdf, params, comm)
+        state = update_message_counts(state, params, comm)
         if params.use_grid:
-            state = update_collisions_grid(state, params, env_dist)
+            state = update_collisions_grid(state, params, env_dist, comm)
         else:
-            state = update_collisions(state, params, env_dist)
+            state = update_collisions(state, params, env_dist, comm)
         state = update_goal_areas(state, params)
         state = log_positions(state, params)
     return replace(state, tick=state.tick + 1)
@@ -1215,10 +1295,11 @@ def run_ticks(
     params: GbpParams,
     n: int,
     env_dist: jax.Array | None = None,
+    comm=LOCAL,
 ) -> SimState:
     """Run `n` ticks device-resident (no host sync between ticks)."""
     def body(st, _):
-        return step(st, sdf, params, env_dist), None
+        return step(st, sdf, params, env_dist, comm), None
 
     state, _ = jax.lax.scan(body, state, None, length=n)
     return state

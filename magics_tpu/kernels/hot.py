@@ -168,7 +168,7 @@ def _ext_sum_hot(state: SimState, rp: int) -> tuple[jax.Array, jax.Array]:
 
 def iterate_gbp_hot(
     state: SimState, sdf: jax.Array, params: GbpParams, *,
-    r_tile: int = 128, interpret: bool = False,
+    r_tile: int = 128, interpret: bool = False, comm=None,
 ) -> SimState:
     """`iterate_gbp_v2` on the hot layout with the fused Pallas internal slot.
 
@@ -176,7 +176,10 @@ def iterate_gbp_hot(
     launch (plus the SDF tap gather); external slots run the XLA passes.
     """
     from magics_tpu.graph import tick as T
+    from magics_tpu.parallel.comm import LOCAL
 
+    if comm is None:
+        comm = LOCAL
     if not params.schedule:
         return state
 
@@ -252,7 +255,7 @@ def iterate_gbp_hot(
             # ---- external factor pass: XLA on the compact rank-1 state ----
             st = _snap_to_state(st, hot)
             st = replace(st, iter_count_factor=ic)
-            st = T.external_factor_pass(st, params)
+            st = T.external_factor_pass(st, params, comm)
             ic = st.iter_count_factor
 
             # ---- external variable pass: belief update in the Pallas
@@ -286,18 +289,19 @@ def iterate_gbp_hot(
 
             # ---- response delivery (robot.rs:1843-1858): the factor only
             # uses the responder's belief mean position (graph/tick.py) ----
-            bm_pos = jnp.transpose(
-                hot["belief_mean"][:2, 1:, :R], (2, 1, 0)
-            )  # [R, V-1, 2]
-            _, has_back = T.compute_back_slots(st.nbr_idx, st.nbr_mask)
-            src = jnp.clip(st.nbr_idx, 0, R - 1)
+            bm_pos = comm.all_robots(
+                jnp.transpose(hot["belief_mean"][:2, 1:, :R], (2, 1, 0))
+            )  # [R_total, V-1, 2]
+            _, has_back = T.compute_back_slots(st.nbr_idx, st.nbr_mask, comm)
+            gate_all = comm.all_robots(ext_gate_r)
+            src = jnp.clip(st.nbr_idx, 0, gate_all.shape[0] - 1)
             deliver = (
                 ext_gate_r[:, None]
                 & st.nbr_mask
-                & ext_gate_r[src]
+                & gate_all[src]
                 & has_back
             )[..., None]
-            safe = jnp.clip(st.nbr_idx, 0, R - 1)
+            safe = src
             in_pos = jnp.where(
                 (st.nbr_mask)[..., None, None], bm_pos[safe], 0
             )

@@ -137,7 +137,17 @@ class Simulator:
                 self._spawn_groups.append((start_idx, f.robots))
 
         if not specs:
-            raise ValueError("scenario spawns no robots")
+            # display-only scenarios exist (e.g. "Obstacle Shapes Showcase"
+            # has `robots: 0` — it exercises the environment renderer only);
+            # keep one inert padded slot so the dense state stays non-empty.
+            specs = [
+                RobotSpec(
+                    start=np.zeros(4),
+                    waypoints=np.zeros((2, 4)),
+                    radius=cfg.robot.radius.min,
+                    spawn_tick=-1,  # never activates
+                )
+            ]
 
         self.specs = specs
 

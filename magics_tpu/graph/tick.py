@@ -281,16 +281,17 @@ def update_connectivity_grid(state: SimState, params: GbpParams, comm=LOCAL) -> 
     new_pair = in_range & ~connected
 
     # assign new neighbours to free slots in ascending-id order (the dense
-    # path's BTreeSet order): after sorting the candidate keys, the m-th new
-    # neighbour is simply sorted_key[:, m], so each free slot (free-rank m)
-    # gathers it directly — no scatter (TPU scatters with [R, M] updates
-    # serialise; see the dense path / bench/profile_tick.py).
+    # path's BTreeSet order): at most K new ids can land in slots, so the K
+    # smallest candidate keys suffice — lax.top_k of the negated keys is
+    # ~5x cheaper than a full [R, M] sort at M ~ 300 (and no scatter: TPU
+    # scatters with [R, M] updates serialise, see bench/profile_tick.py).
     key = jnp.where(new_pair, cand_idx, R)
-    sorted_key = jnp.sort(key, axis=1)                       # [R, M]
-    M = sorted_key.shape[1]
+    M = key.shape[1]
+    neg_topk, _ = jax.lax.top_k(-key, min(K, M))             # [R, K] descending
+    sorted_key = -neg_topk                                   # K smallest, ascending
     free_rank = jnp.cumsum(~keep, axis=1) - 1                # [R, K]
     new_id = jnp.take_along_axis(
-        sorted_key, jnp.clip(free_rank, 0, M - 1), axis=1
+        sorted_key, jnp.clip(free_rank, 0, sorted_key.shape[1] - 1), axis=1
     )
     valid = ~keep & (free_rank >= 0) & (free_rank < M) & (new_id < R)
     nbr_idx_new = jnp.where(valid, new_id, -1).astype(jnp.int32)
@@ -692,41 +693,51 @@ def external_factor_pass(state: SimState, params: GbpParams, comm=LOCAL) -> SimS
 
     send_gate = state.active & state.antenna & _not_idle(state)  # [R]
 
-    # linearisation inputs; the internal cavity is the belief snapshot where
-    # the variable has ever responded (empty message = zeros otherwise)
-    seeded = state.ir_int_seeded  # [R, K, V-1]
-    own_mu = state.snap_mu[:, None, 1:, :]  # [R, 1, V-1, 4]
-    own_eta = state.snap_eta[:, None, 1:, :]
-    own_lam = state.snap_lam[:, None, 1:, :, :]
-    s3 = seeded[..., None]
-    x_int = jnp.where(s3, own_mu, 0.0)
-    cav_eta = jnp.where(s3, own_eta, 0.0)
-    cav_lam = jnp.where(s3[..., None], own_lam, 0.0)
+    if params.use_pallas:
+        # fused kernel: no [R, K, V1, 4, 4] intermediates (kernels/ir_slot.py)
+        from magics_tpu.kernels.ir_slot import interrobot_messages_pallas
 
-    safety = (params.safety_distance_multiplier * state.radius)[:, None, None]
-    safety = jnp.broadcast_to(safety, (R, K, V1))
-    # Per-factor tiny offset (interrobot.rs:75,91-106). The reference derives
-    # it from a global factor-creation counter; besides guarding div/0 the
-    # *distinctness* of the offsets breaks symmetric head-on deadlocks, so we
-    # keep per-factor-distinct values — but slot-deterministic instead of
-    # creation-order-dependent, so results are reproducible across shardings.
-    tiny = jnp.asarray(1e-6, f) * (
-        gids[:, None, None] * (K * V1)
-        + jnp.arange(K, dtype=f)[None, :, None] * V1
-        + jnp.arange(V1, dtype=f)[None, None, :]
-        + 1.0
-    )
+        msg = interrobot_messages_pallas(
+            state, params, r_tile=params.pallas_r_tile,
+            interpret=params.pallas_interpret, comm=comm,
+        )  # [R, K, V-1, 4]
+    else:
+        # linearisation inputs; the internal cavity is the belief snapshot
+        # where the variable has ever responded (empty message = zeros else)
+        seeded = state.ir_int_seeded  # [R, K, V-1]
+        own_mu = state.snap_mu[:, None, 1:, :]  # [R, 1, V-1, 4]
+        own_eta = state.snap_eta[:, None, 1:, :]
+        own_lam = state.snap_lam[:, None, 1:, :, :]
+        s3 = seeded[..., None]
+        x_int = jnp.where(s3, own_mu, 0.0)
+        cav_eta = jnp.where(s3, own_eta, 0.0)
+        cav_lam = jnp.where(s3[..., None], own_lam, 0.0)
 
-    msg = F.interrobot_rank1_messages(
-        x_int,
-        state.ir_v2f_ext_pos,
-        cav_eta,
-        cav_lam,
-        safety,
-        tiny,
-        params.sigma_factor_interrobot,
-        dtype=f,
-    )  # [R, K, V-1, 4]
+        safety = (params.safety_distance_multiplier * state.radius)[:, None, None]
+        safety = jnp.broadcast_to(safety, (R, K, V1))
+        # Per-factor tiny offset (interrobot.rs:75,91-106). The reference
+        # derives it from a global factor-creation counter; besides guarding
+        # div/0 the *distinctness* of the offsets breaks symmetric head-on
+        # deadlocks, so we keep per-factor-distinct values — but
+        # slot-deterministic instead of creation-order-dependent, so results
+        # are reproducible across shardings.
+        tiny = jnp.asarray(1e-6, f) * (
+            gids[:, None, None] * (K * V1)
+            + jnp.arange(K, dtype=f)[None, :, None] * V1
+            + jnp.arange(V1, dtype=f)[None, None, :]
+            + 1.0
+        )
+
+        msg = F.interrobot_rank1_messages(
+            x_int,
+            state.ir_v2f_ext_pos,
+            cav_eta,
+            cav_lam,
+            safety,
+            tiny,
+            params.sigma_factor_interrobot,
+            dtype=f,
+        )  # [R, K, V-1, 4]
 
     produced = _exp(send_gate, 2) & state.nbr_mask[..., None]  # [R, K, V-1]
     ir_f2v_ext = jnp.where(produced[..., None], msg, state.ir_f2v_ext)
@@ -1112,11 +1123,14 @@ def update_collisions_grid(
     rsum = state.radius[:, None] + rad_all[safe]
     overlap = cand_mask & (d2 < rsum * rsum)                 # [Rl, M]
 
-    # current partner table: the P lowest overlapping ids. Partners beyond P
-    # are dropped — counted in rr_partner_overflow so truncation is visible
-    # (event counts are exact only while this stays 0).
+    # current partner table: the P lowest overlapping ids (top_k of negated
+    # keys — see update_connectivity_grid). Partners beyond P are dropped —
+    # counted in rr_partner_overflow so truncation is visible (event counts
+    # are exact only while this stays 0).
     key = jnp.where(overlap, cand_idx, R)
-    cur = jnp.sort(key, axis=1)[:, :P]
+    cur = -jax.lax.top_k(-key, min(P, key.shape[1]))[0]
+    if cur.shape[1] < P:  # fewer candidates than table slots
+        cur = jnp.pad(cur, ((0, 0), (0, P - cur.shape[1])), constant_values=R)
     cur = jnp.where(cur < R, cur, -1).astype(jnp.int32)
     n_overlap = jnp.sum(overlap, axis=1).astype(jnp.int32)   # [R]
     dropped = jnp.sum(jnp.maximum(n_overlap - P, 0))

@@ -48,7 +48,13 @@ def main():
             internal=10,
             external=10,
             schedule=ScheduleKind.CENTERED,
-            n_slots=8,
+            # neighbour-slot capacity sized to the workload's density: the
+            # constant-linear-density circle has mean degree ~0.2 (comms
+            # radius 50 m, spacing 1.4 m along the arc), so 4 slots carry a
+            # >20x headroom; the exchange gathers scale with R*K rows, so
+            # oversizing K is the single largest cost at swarm scale
+            # (overflow is counted — rerun with bigger K if it ever trips)
+            n_slots=4,
             world=(world, world),
             sdf=np.ones((128, 128)),
             dtype=jnp.float32,

@@ -235,21 +235,25 @@ def update_connectivity(state: SimState, params: GbpParams, comm=LOCAL) -> SimSt
     return _finish_connectivity(state, keep, nbr_idx_new, comm)
 
 
-def update_connectivity_grid(state: SimState, params: GbpParams, comm=LOCAL) -> SimState:
-    """Grid-accelerated connectivity (graph/grid.py): same semantics as
-    `update_connectivity` — kept slots re-checked by exact distance, new
-    in-range pairs assigned to free slots in ascending-id order — but the
-    pair search runs over the stencil candidates instead of all R^2 pairs."""
+def grid_candidates(state: SimState, params: GbpParams, comm=LOCAL):
+    """Build the spatial grid from the (gathered) global positions and return
+    each local robot's stencil candidates (cand_idx [Rl, M], cand_mask).
+
+    The search radius is the comms radius; when it also covers the largest
+    possible colliding pair (comms_radius >= 2 * max_robot_radius — true for
+    every shipped scenario), the same candidate table serves both neighbour
+    discovery and collision detection, so the bucket build + stencil gather
+    (the expensive part: an [Rl, stencil] row gather) happens once per tick.
+    """
     from magics_tpu.graph import grid as G
 
-    Rl, K = state.nbr_idx.shape
+    Rl = state.pos.shape[0]
     pos_all = comm.all_robots(state.pos)      # [R, 2]
     act_all = comm.all_robots(state.active)   # [R]
-    R = act_all.shape[0]
     spec = G.make_grid_spec(
         (params.world_width, params.world_height),
         params.grid_cell_size,
-        params.comms_radius,
+        max(params.comms_radius, 2.0 * params.max_robot_radius),
         params.grid_capacity,
     )
     # the bucket table is global (every shard builds it from the gathered
@@ -257,8 +261,25 @@ def update_connectivity_grid(state: SimState, params: GbpParams, comm=LOCAL) -> 
     # lookups run on the local rows only
     _, bucket = G.build_grid(spec, pos_all, act_all)
     cell_l = G.cell_ids(spec, state.pos, state.active)
-    cand_idx, cand_mask = G.candidate_neighbours(
+    return G.candidate_neighbours(
         spec, cell_l, bucket, state.active, row_ids=comm.row_ids(Rl)
+    )
+
+
+def update_connectivity_grid(
+    state: SimState, params: GbpParams, comm=LOCAL, candidates=None
+) -> SimState:
+    """Grid-accelerated connectivity (graph/grid.py): same semantics as
+    `update_connectivity` — kept slots re-checked by exact distance, new
+    in-range pairs assigned to free slots in ascending-id order — but the
+    pair search runs over the stencil candidates instead of all R^2 pairs."""
+    Rl, K = state.nbr_idx.shape
+    pos_all = comm.all_robots(state.pos)      # [R, 2]
+    act_all = comm.all_robots(state.active)   # [R]
+    R = act_all.shape[0]
+    cand_idx, cand_mask = (
+        candidates if candidates is not None
+        else grid_candidates(state, params, comm)
     )
     radius2 = params.comms_radius * params.comms_radius
 
@@ -1086,7 +1107,7 @@ def _env_collision_updates(
 
 def update_collisions_grid(
     state: SimState, params: GbpParams, env_dist: jax.Array | None = None,
-    comm=LOCAL,
+    comm=LOCAL, candidates=None,
 ) -> SimState:
     """Grid-mode robot-robot collision events. Hysteresis is tracked with a
     per-robot table of currently-overlapping partner ids ([R, P], lowest ids
@@ -1094,28 +1115,19 @@ def update_collisions_grid(
     partner enters the table (same enter-edge semantics as
     collisions.rs:102-140, seen symmetrically by both robots and counted once
     with the a < b convention)."""
-    from magics_tpu.graph import grid as G
-
     Rl = state.pos.shape[0]
     P = state.rr_partner.shape[1]
     pos_all = comm.all_robots(state.pos)
     rad_all = comm.all_robots(state.radius)
     act_all = comm.all_robots(state.active)
     R = act_all.shape[0]
-    # The collision stencil must cover the largest overlapping pair
-    # (d < radius_i + radius_j <= 2 * max_robot_radius) — NOT the comms
-    # radius, which is an unrelated parameter and may be smaller. A
-    # dedicated (smaller) search radius also shrinks the stencil.
-    spec = G.make_grid_spec(
-        (params.world_width, params.world_height),
-        params.grid_cell_size,
-        2.0 * params.max_robot_radius,
-        params.grid_capacity,
-    )
-    _, bucket = G.build_grid(spec, pos_all, act_all)
-    cell_l = G.cell_ids(spec, state.pos, state.active)
-    cand_idx, cand_mask = G.candidate_neighbours(
-        spec, cell_l, bucket, state.active, row_ids=comm.row_ids(Rl)
+    # The candidate stencil covers max(comms_radius, 2 * max_robot_radius)
+    # (grid_candidates) — a superset of every possible colliding pair
+    # (d < radius_i + radius_j <= 2 * max_robot_radius); the exact distance
+    # test below filters. Shared with connectivity via `candidates`.
+    cand_idx, cand_mask = (
+        candidates if candidates is not None
+        else grid_candidates(state, params, comm)
     )
 
     safe = jnp.clip(cand_idx, 0, R - 1)
@@ -1233,8 +1245,13 @@ def step(
     with jax.default_matmul_precision("highest"):
         state = activate_due_spawns(state)
         state = check_waypoints(state, params)
+        # one grid build + stencil gather serves both neighbour discovery and
+        # collision detection (positions only change in update_prior_current,
+        # by < 2 m/tick at any shipped speed — the reference likewise scans
+        # both against the same FixedUpdate snapshot, robot.rs:86-108)
+        candidates = grid_candidates(state, params, comm) if params.use_grid else None
         if params.use_grid:
-            state = update_connectivity_grid(state, params, comm)
+            state = update_connectivity_grid(state, params, comm, candidates)
         else:
             state = update_connectivity(state, params, comm)
         state = update_failed_comms(state, params, comm)
@@ -1243,7 +1260,7 @@ def step(
         state = iterate_gbp(state, sdf, params, comm)
         state = update_message_counts(state, params, comm)
         if params.use_grid:
-            state = update_collisions_grid(state, params, env_dist, comm)
+            state = update_collisions_grid(state, params, env_dist, comm, candidates)
         else:
             state = update_collisions(state, params, env_dist, comm)
         state = update_goal_areas(state, params)

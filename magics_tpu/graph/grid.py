@@ -106,18 +106,53 @@ def build_grid(
     One stable argsort groups robots by cell; the rank of a robot within its
     cell is its bucket column. Robots ranked past capacity drop (mode="drop").
     """
-    R = pos.shape[0]
     cell = cell_ids(spec, pos, active)
-    order = jnp.argsort(cell, stable=True)          # robot ids grouped by cell
-    sorted_cell = cell[order]
-    # first occurrence index of each cell value == searchsorted against itself
-    starts = jnp.searchsorted(sorted_cell, sorted_cell, side="left")
-    rank = jnp.arange(R, dtype=jnp.int32) - starts.astype(jnp.int32)
+    order, sorted_cell, rank = _bucket_order(cell)
     bucket = jnp.full((spec.n_cells + 1, spec.capacity), -1, dtype=jnp.int32)
     bucket = bucket.at[sorted_cell, rank].set(
         order.astype(jnp.int32), mode="drop"
     )[: spec.n_cells]
     return cell, bucket
+
+
+def _bucket_order(cell: jax.Array):
+    R = cell.shape[0]
+    order = jnp.argsort(cell, stable=True)          # robot ids grouped by cell
+    sorted_cell = cell[order]
+    # first occurrence index of each cell value == searchsorted against itself
+    starts = jnp.searchsorted(sorted_cell, sorted_cell, side="left")
+    rank = jnp.arange(R, dtype=jnp.int32) - starts.astype(jnp.int32)
+    return order, sorted_cell, rank
+
+
+def build_grid_tables(
+    spec: GridSpec, pos: jax.Array, active: jax.Array, radius: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Bucket tables carrying the robots' DATA alongside their ids:
+    (bucket [n_cells, C] ids, bucket_pos [n_cells, C, 2],
+    bucket_rad [n_cells, C]).
+
+    Why: the stencil lookup `bucket[ncid]` gathers [R, stencil] ROWS — fast.
+    But then fetching each candidate's position/radius (`pos[cand]`) is an
+    [R, stencil*C] element gather — R*M near-scalar accesses that dominate
+    the whole tick at swarm scale (TPU gathers cost per ROW, not per byte;
+    ~44 ms/tick at R=16k, M=288 in the profiler trace). Scattering the
+    positions into bucket-aligned tables at build time turns those into the
+    same cheap [R, stencil] row gathers as the ids. Empty bucket entries
+    hold a far-away position (1e30) so distance tests fail naturally.
+    """
+    f = pos.dtype
+    cell = cell_ids(spec, pos, active)
+    order, sorted_cell, rank = _bucket_order(cell)
+    n1 = spec.n_cells + 1
+    C = spec.capacity
+    bucket = jnp.full((n1, C), -1, dtype=jnp.int32)
+    bucket = bucket.at[sorted_cell, rank].set(order.astype(jnp.int32), mode="drop")
+    bpos = jnp.full((n1, C, 2), 1e30, dtype=f)
+    bpos = bpos.at[sorted_cell, rank].set(pos[order], mode="drop")
+    brad = jnp.zeros((n1, C), dtype=radius.dtype)
+    brad = brad.at[sorted_cell, rank].set(radius[order], mode="drop")
+    return bucket[: spec.n_cells], bpos[: spec.n_cells], brad[: spec.n_cells]
 
 
 def grid_overflow(spec: GridSpec, pos: jax.Array, active: jax.Array) -> jax.Array:
@@ -142,7 +177,20 @@ def candidate_neighbours(
     are global robot ids; when the caller shards robots, `cell`/`active` are
     the local rows and `row_ids` their global ids (for self-pair masking).
     """
+    ncid, valid_cell = _stencil_cells(spec, cell)
     R = cell.shape[0]
+    cand = bucket[ncid]                                 # [R, S, C]
+    cand = jnp.where(valid_cell[..., None], cand, -1)
+    cand = cand.reshape(R, -1)                          # [R, M]
+
+    me = (jnp.arange(R, dtype=jnp.int32) if row_ids is None else row_ids)[:, None]
+    mask = (cand >= 0) & (cand != me) & active[:, None]
+    # inactive robots are never bucketed, so cand >= 0 implies active[cand]
+    return jnp.where(mask, cand, -1), mask
+
+
+def _stencil_cells(spec: GridSpec, cell: jax.Array):
+    """Stencil cell ids per robot: (ncid [R, S], valid_cell [R, S])."""
     cx = cell % spec.nx
     cy = cell // spec.nx
 
@@ -158,12 +206,28 @@ def candidate_neighbours(
     ncy = cy[:, None] + ody[None, :]
     valid_cell = (ncx >= 0) & (ncx < spec.nx) & (ncy >= 0) & (ncy < spec.ny)
     ncid = jnp.clip(ncy, 0, spec.ny - 1) * spec.nx + jnp.clip(ncx, 0, spec.nx - 1)
+    return ncid, valid_cell
 
-    cand = bucket[ncid]                                 # [R, S, C]
-    cand = jnp.where(valid_cell[..., None], cand, -1)
-    cand = cand.reshape(R, -1)                          # [R, M]
+
+def candidate_data(
+    spec: GridSpec,
+    cell: jax.Array,       # [R] (local rows when sharded)
+    bucket: jax.Array,     # [n_cells, C] ids — GLOBAL
+    bpos: jax.Array,       # [n_cells, C, 2] positions — GLOBAL
+    brad: jax.Array,       # [n_cells, C] radii — GLOBAL
+    active: jax.Array,     # [R]
+    row_ids: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Candidates WITH their data: (cand_idx [R, M], cand_pos [R, M, 2],
+    cand_rad [R, M], cand_mask [R, M]). All three tables gather by the same
+    [R, S] stencil rows — no per-candidate element gathers (see
+    build_grid_tables). Invalid entries: idx -1, pos 1e30, rad 0."""
+    ncid, valid_cell = _stencil_cells(spec, cell)
+    R = cell.shape[0]
+    cand = jnp.where(valid_cell[..., None], bucket[ncid], -1).reshape(R, -1)
+    cpos = bpos[ncid].reshape(R, -1, 2)                 # far-away where empty
+    crad = brad[ncid].reshape(R, -1)
 
     me = (jnp.arange(R, dtype=jnp.int32) if row_ids is None else row_ids)[:, None]
     mask = (cand >= 0) & (cand != me) & active[:, None]
-    # inactive robots are never bucketed, so cand >= 0 implies active[cand]
-    return jnp.where(mask, cand, -1), mask
+    return jnp.where(mask, cand, -1), cpos, crad, mask

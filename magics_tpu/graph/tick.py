@@ -237,32 +237,37 @@ def update_connectivity(state: SimState, params: GbpParams, comm=LOCAL) -> SimSt
 
 def grid_candidates(state: SimState, params: GbpParams, comm=LOCAL):
     """Build the spatial grid from the (gathered) global positions and return
-    each local robot's stencil candidates (cand_idx [Rl, M], cand_mask).
+    each local robot's stencil candidates WITH their data:
+    (cand_idx [Rl, M], cand_pos [Rl, M, 2], cand_rad [Rl, M], cand_mask).
 
     The search radius is the comms radius; when it also covers the largest
     possible colliding pair (comms_radius >= 2 * max_robot_radius — true for
     every shipped scenario), the same candidate table serves both neighbour
     discovery and collision detection, so the bucket build + stencil gather
     (the expensive part: an [Rl, stencil] row gather) happens once per tick.
+    Candidate positions/radii ride in bucket-aligned tables
+    (grid.build_grid_tables) — no per-candidate element gathers, which
+    otherwise dominate the whole tick at swarm scale.
     """
     from magics_tpu.graph import grid as G
 
     Rl = state.pos.shape[0]
     pos_all = comm.all_robots(state.pos)      # [R, 2]
     act_all = comm.all_robots(state.active)   # [R]
+    rad_all = comm.all_robots(state.radius)
     spec = G.make_grid_spec(
         (params.world_width, params.world_height),
         params.grid_cell_size,
         max(params.comms_radius, 2.0 * params.max_robot_radius),
         params.grid_capacity,
     )
-    # the bucket table is global (every shard builds it from the gathered
+    # the bucket tables are global (every shard builds them from the gathered
     # positions — one [R] sort, cheap and identical everywhere); candidate
     # lookups run on the local rows only
-    _, bucket = G.build_grid(spec, pos_all, act_all)
+    bucket, bpos, brad = G.build_grid_tables(spec, pos_all, act_all, rad_all)
     cell_l = G.cell_ids(spec, state.pos, state.active)
-    return G.candidate_neighbours(
-        spec, cell_l, bucket, state.active, row_ids=comm.row_ids(Rl)
+    return G.candidate_data(
+        spec, cell_l, bucket, bpos, brad, state.active, row_ids=comm.row_ids(Rl)
     )
 
 
@@ -277,7 +282,7 @@ def update_connectivity_grid(
     pos_all = comm.all_robots(state.pos)      # [R, 2]
     act_all = comm.all_robots(state.active)   # [R]
     R = act_all.shape[0]
-    cand_idx, cand_mask = (
+    cand_idx, cand_pos, _, cand_mask = (
         candidates if candidates is not None
         else grid_candidates(state, params, comm)
     )
@@ -293,9 +298,9 @@ def update_connectivity_grid(
         & (d2_slot <= radius2)
     )
 
-    # in-range candidates not already connected
-    cpos = pos_all[jnp.clip(cand_idx, 0, R - 1)]            # [Rl, M, 2]
-    d2 = jnp.sum((state.pos[:, None, :] - cpos) ** 2, axis=-1)
+    # in-range candidates not already connected (cand_pos came with the
+    # candidates — far away where masked, so the distance test also gates)
+    d2 = jnp.sum((state.pos[:, None, :] - cand_pos) ** 2, axis=-1)
     in_range = cand_mask & (d2 <= radius2)
     kept_ids = jnp.where(keep, state.nbr_idx, -2)
     connected = jnp.any(cand_idx[:, :, None] == kept_ids[:, None, :], axis=-1)
@@ -1124,15 +1129,16 @@ def update_collisions_grid(
     # The candidate stencil covers max(comms_radius, 2 * max_robot_radius)
     # (grid_candidates) — a superset of every possible colliding pair
     # (d < radius_i + radius_j <= 2 * max_robot_radius); the exact distance
-    # test below filters. Shared with connectivity via `candidates`.
-    cand_idx, cand_mask = (
+    # test below filters. Shared with connectivity via `candidates`; the
+    # candidate positions/radii ride in the bucket tables, so there is no
+    # per-candidate element gather here.
+    cand_idx, cand_pos, cand_rad, cand_mask = (
         candidates if candidates is not None
         else grid_candidates(state, params, comm)
     )
 
-    safe = jnp.clip(cand_idx, 0, R - 1)
-    d2 = jnp.sum((state.pos[:, None, :] - pos_all[safe]) ** 2, axis=-1)
-    rsum = state.radius[:, None] + rad_all[safe]
+    d2 = jnp.sum((state.pos[:, None, :] - cand_pos) ** 2, axis=-1)
+    rsum = state.radius[:, None] + cand_rad
     overlap = cand_mask & (d2 < rsum * rsum)                 # [Rl, M]
 
     # current partner table: the P lowest overlapping ids (top_k of negated
@@ -1245,13 +1251,12 @@ def step(
     with jax.default_matmul_precision("highest"):
         state = activate_due_spawns(state)
         state = check_waypoints(state, params)
-        # one grid build + stencil gather serves both neighbour discovery and
-        # collision detection (positions only change in update_prior_current,
-        # by < 2 m/tick at any shipped speed — the reference likewise scans
-        # both against the same FixedUpdate snapshot, robot.rs:86-108)
-        candidates = grid_candidates(state, params, comm) if params.use_grid else None
+        # each grid consumer builds its own candidate tables at its point in
+        # the system chain (collisions must see the positions moved by
+        # update_prior_current, matching the dense path exactly); the tables
+        # carry positions/radii so there are no per-candidate element gathers
         if params.use_grid:
-            state = update_connectivity_grid(state, params, comm, candidates)
+            state = update_connectivity_grid(state, params, comm)
         else:
             state = update_connectivity(state, params, comm)
         state = update_failed_comms(state, params, comm)
@@ -1260,7 +1265,7 @@ def step(
         state = iterate_gbp(state, sdf, params, comm)
         state = update_message_counts(state, params, comm)
         if params.use_grid:
-            state = update_collisions_grid(state, params, env_dist, comm, candidates)
+            state = update_collisions_grid(state, params, env_dist, comm)
         else:
             state = update_collisions(state, params, env_dist, comm)
         state = update_goal_areas(state, params)

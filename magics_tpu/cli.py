@@ -86,6 +86,12 @@ def main(argv=None) -> int:
         default=None,
         help="force a jax backend (default: whatever jax picks)",
     )
+    p.add_argument(
+        "--profile", metavar="DIR",
+        help="capture a jax/XLA device profile of the run into DIR "
+        "(view with xprof/tensorboard; the reference's flamegraph/dhat "
+        "profiles analog, Cargo.toml:149-152)",
+    )
     p.add_argument("--quiet", action="store_true")
     p.add_argument(
         "-v", "--verbose", action="count", default=0,
@@ -258,11 +264,24 @@ def main(argv=None) -> int:
         if not args.quiet:
             print(f"resumed from {args.resume}", file=sys.stderr)
 
-    summary = sim.run(
-        progress=progress,
-        checkpoint_path=args.checkpoint,
-        checkpoint_every_s=args.checkpoint_every,
-    )
+    if args.profile:
+        import contextlib
+
+        import jax.profiler
+
+        profile_cm = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+
+        profile_cm = contextlib.nullcontext()
+    with profile_cm:
+        summary = sim.run(
+            progress=progress,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every_s=args.checkpoint_every,
+        )
+    if args.profile and not args.quiet:
+        print(f"profile: {args.profile}", file=sys.stderr)
     summary["wall_s"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(summary))
 

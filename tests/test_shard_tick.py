@@ -87,6 +87,20 @@ def test_pallas_tick_shard_equivalence():
     _assert_equivalent(params, state, sdf)
 
 
+def test_shard_equivalence_with_logs_and_goal_areas():
+    """Exercises the axis-1-sharded fields (pos/vel/viz ring buffers,
+    goal-area history) that the basic tests leave empty."""
+    specs = circle_formation(16, circle_radius=20.0, target_speed=8.0)
+    params, state, sdf = build_scenario(
+        specs, target_speed=8.0, planning_horizon=1.0, comms_radius=60.0,
+        internal=3, external=2, n_slots=4, dtype=jnp.float64,
+        comms_failure_rate=0.1, seed=9,
+        log_every=2, log_capacity=8, viz_log_capacity=4,
+        goal_areas=np.array([[-30.0, -30.0, 30.0, 30.0]]),
+    )
+    _assert_equivalent(params, state, sdf)
+
+
 def test_shard_step_rejects_bad_capacity():
     specs = circle_formation(10, circle_radius=20.0, target_speed=8.0)
     params, state, sdf = build_scenario(

@@ -231,6 +231,14 @@ class SimState:
     # (factorgraph.rs:719-760), so only the response *mean position* is kept.
     nbr_idx: jax.Array       # [R, K] i32 — neighbour robot index; -1 empty
     nbr_mask: jax.Array      # [R, K] bool
+    # Cached reciprocal-slot table: nbr_back[r, k] = slot k' on robot
+    # j = nbr_idx[r, k] with nbr_idx[j, k'] == r. Connectivity is immutable
+    # after _finish_connectivity for the rest of the tick, so this is
+    # computed ONCE there and reused by every external pass and the message
+    # counters instead of re-running the [R, K, K] reciprocity argmax
+    # (~20x per tick in the Circle-Experiment schedule):
+    nbr_back: jax.Array      # [R, K] i32
+    nbr_has_back: jax.Array  # [R, K] bool — reciprocal slot exists and alive
     ir_int_seeded: jax.Array  # [R, K, V-1] bool — internal v2f ever written
     # Inbox of the factor owned by (r, k) at chain position i: the external
     # variable's latest delivered response position (its belief/changed-prior
@@ -397,6 +405,8 @@ def init_state(
         trk_path_len=jnp.asarray(n_waypoints, dtype=jnp.int32),
         nbr_idx=jnp.full((R, K), -1, dtype=jnp.int32),
         nbr_mask=jnp.zeros((R, K), dtype=bool),
+        nbr_back=jnp.zeros((R, K), dtype=jnp.int32),
+        nbr_has_back=jnp.zeros((R, K), dtype=bool),
         ir_int_seeded=jnp.zeros((R, K, Vm1), dtype=bool),
         ir_v2f_ext_pos=zeros(R, K, Vm1, 2),
         ir_f2v_ext=zeros(R, K, Vm1, DOFS),

@@ -363,10 +363,24 @@ def _finish_connectivity(
     )[:, :, 1:, :]
     ir_v2f_ext_pos = jnp.where(_exp(is_new, 2), nbr_belief_pos, ir_v2f_ext_pos)
 
+    # Cache the reciprocal-slot table for the rest of the tick. `back` was
+    # computed on the PRE-reciprocity tables; on the final tables a slot's
+    # reciprocal is alive iff the peer's slot survived its own mask (capacity
+    # overflow can drop one side only). Connections are unique per (r, j)
+    # pair, so the surviving reciprocal slot index is unchanged.
+    K = nbr_idx_new.shape[1]
+    mask_all = comm.all_robots(mask_new)  # [R_total, K]
+    flat_mask = mask_all.reshape(-1)
+    j_safe = jnp.clip(nbr_idx_new, 0, mask_all.shape[0] - 1)
+    peer_alive = flat_mask[j_safe * K + jnp.clip(back, 0, K - 1)]
+    has_back_final = mask_new & peer_alive
+
     return replace(
         state,
             nbr_idx=jnp.where(mask_new, nbr_idx_new, -1),
             nbr_mask=mask_new,
+            nbr_back=back,
+            nbr_has_back=has_back_final,
             ir_int_seeded=seeded,
             ir_v2f_ext_pos=ir_v2f_ext_pos,
             ir_f2v_ext=ir_f2v_ext,
@@ -778,7 +792,7 @@ def external_factor_pass(state: SimState, params: GbpParams, comm=LOCAL) -> SimS
     # having produced this pass and the receiver's antenna/mission. Under a
     # sharded comm the peers' outboxes and send gates arrive via all_gather —
     # THE inter-robot message exchange over ICI/DCN (SURVEY.md §2.4).
-    back, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask, comm)
+    back, has_back = state.nbr_back, state.nbr_has_back
     recv_gate = state.active & state.antenna & _not_idle(state)
     send_gate_all = comm.all_robots(send_gate)
     src = jnp.clip(state.nbr_idx, 0, send_gate_all.shape[0] - 1)
@@ -839,7 +853,7 @@ def external_variable_pass(state: SimState, params: GbpParams, comm=LOCAL) -> Si
     # response computed by j = nbr_idx[r,k] — the same belief mean for every
     # reciprocal slot, so a per-robot gather suffices (has_back still gates:
     # the peer only responds on edges it has a slot for).
-    _, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask, comm)
+    has_back = state.nbr_has_back
     gate_all = comm.all_robots(gate)
     src = jnp.clip(state.nbr_idx, 0, gate_all.shape[0] - 1)
     deliver = (
@@ -960,7 +974,7 @@ def update_message_counts(state: SimState, params: GbpParams, comm=LOCAL) -> Sim
     ext_sent = jnp.zeros((R,), jnp.int32)
     ext_recv = jnp.zeros((R,), jnp.int32)
     if params.interrobot_enabled and n_ext > 0:
-        back, has_back = compute_back_slots(state.nbr_idx, state.nbr_mask, comm)
+        has_back = state.nbr_has_back
         send_gate_all = comm.all_robots(send_gate)
         src = jnp.clip(state.nbr_idx, 0, send_gate_all.shape[0] - 1)
         # factor pass: each of r's ir factors sends (V-1) messages to the

@@ -292,7 +292,7 @@ def iterate_gbp_hot(
             bm_pos = comm.all_robots(
                 jnp.transpose(hot["belief_mean"][:2, 1:, :R], (2, 1, 0))
             )  # [R_total, V-1, 2]
-            _, has_back = T.compute_back_slots(st.nbr_idx, st.nbr_mask, comm)
+            has_back = st.nbr_has_back
             gate_all = comm.all_robots(ext_gate_r)
             src = jnp.clip(st.nbr_idx, 0, gate_all.shape[0] - 1)
             deliver = (

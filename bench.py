@@ -53,6 +53,11 @@ def main() -> None:
         # (kernels/gbp_slot.py); ~2x over the XLA lowering at this scale
         # (bench/profile_tick.py)
         use_pallas=True,
+        # the Circle Experiment config has no [gbp.factors-enabled] section,
+        # and the reference's default disables the tracking factor
+        # (gbp_config/src/lib.rs:467-469) — robots steer by waypoint priors
+        # alone. Match that workload exactly.
+        tracking_enabled=False,
     )
     V = params.n_vars
     K = params.n_slots
@@ -87,7 +92,12 @@ def main() -> None:
     n_internal = sum(1 for i, _ in params.schedule if i)
     n_external = sum(1 for _, e in params.schedule if e)
     mean_degree = float(jnp.sum(state.nbr_mask) / R)
-    internal_msgs = 2 * (2 * (V - 1) + (V - 2) + (V - 2)) + mean_degree * (V - 1)
+    per_factor = 2 * (V - 1)  # dynamic
+    if params.obstacle_enabled:
+        per_factor += V - 2
+    if params.tracking_enabled:
+        per_factor += V - 2
+    internal_msgs = 2 * per_factor + mean_degree * (V - 1)
     external_msgs = 2 * mean_degree * (V - 1)
     msgs_per_tick = R * (n_internal * internal_msgs + n_external * external_msgs)
     msgs_per_s = msgs_per_tick * ticks_per_s

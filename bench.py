@@ -32,9 +32,15 @@ def main() -> None:
     from magics_tpu.graph import tick as T
     from magics_tpu.sim.builder import build_scenario, circle_formation
 
+    # Geometry is sized so the slot capacity COVERS the true in-range degree
+    # for the measured window (nbr_overflow must stay 0 — the metric line
+    # reports it): radius 800 -> ~4.9 m spacing -> ~20 robots within the
+    # 50 m comms radius at spawn, rising as the circle contracts. Honest
+    # degree, honest message counts — connectivity is exact reference
+    # semantics here, not a truncated approximation.
     R = 1024
     speed = 15.0
-    specs = circle_formation(R, circle_radius=200.0, target_speed=speed)
+    specs = circle_formation(R, circle_radius=800.0, target_speed=speed)
     params, state, sdf = build_scenario(
         specs,
         target_speed=speed,
@@ -44,8 +50,8 @@ def main() -> None:
         internal=50,
         external=10,
         schedule=ScheduleKind.INTERLEAVE_EVENLY,
-        n_slots=8,
-        world=(500.0, 500.0),
+        n_slots=32,
+        world=(2000.0, 2000.0),
         sdf=np.ones((128, 128)),
         dtype=jnp.float32,
         despawn_on_final_waypoint=False,
@@ -92,7 +98,10 @@ def main() -> None:
     n_internal = sum(1 for i, _ in params.schedule if i)
     n_external = sum(1 for _, e in params.schedule if e)
     mean_degree = float(jnp.sum(state.nbr_mask) / R)
-    per_factor = 2 * (V - 1)  # dynamic
+    overflow = int(np.asarray(state.nbr_overflow))
+    per_factor = 0
+    if params.dynamic_enabled:
+        per_factor += 2 * (V - 1)  # mirrors update_message_counts gating
     if params.obstacle_enabled:
         per_factor += V - 2
     if params.tracking_enabled:
@@ -107,7 +116,11 @@ def main() -> None:
             {
                 "metric": "gbp_message_updates_per_s",
                 "value": round(msgs_per_s),
-                "unit": f"messages/s (R={R}, V={V}, {n_internal}i+{n_external}e per tick, mean_degree={mean_degree:.1f})",
+                "unit": (
+                    f"messages/s (R={R}, V={V}, {n_internal}i+{n_external}e "
+                    f"per tick, mean_degree={mean_degree:.1f}, "
+                    f"nbr_overflow={overflow})"
+                ),
                 "vs_baseline": round(ticks_per_s / params.hz, 3),
             }
         )

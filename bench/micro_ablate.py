@@ -30,6 +30,11 @@ def _identity(state, *a, **k):
     return state
 
 
+# NOTE: under use_pallas=True the internal passes and the external VARIABLE
+# pass are inlined in kernels/hot.py (variable_slot + inline delivery) — only
+# external_factor_pass still routes through the tick-module globals, so the
+# no_ext_var variant is forced onto the use_pallas=False build below (its
+# delta is relative to a use_pallas=False baseline, printed separately).
 ABLATIONS = {
     "baseline": [],
     "no_ext_factor": ["external_factor_pass"],
@@ -54,29 +59,40 @@ def main():
             sel = a.split("=", 1)[1].split(",")
 
     params, state0, sdf = build(R, use_pallas=True)
+    params_nopallas, _, _ = build(R, use_pallas=False)
+    nopallas_variants = {"no_ext_var", "baseline_nopallas"}
+    all_ablations = {"baseline": [], "baseline_nopallas": []}
+    all_ablations.update(ABLATIONS)
     saved = {}
     results = {}
-    for name, victims in ABLATIONS.items():
+    for name, victims in all_ablations.items():
         if sel and name not in sel:
             continue
+        p = params_nopallas if name in nopallas_variants else params
         for v in victims:
             saved[v] = getattr(T, v)
             setattr(T, v, _identity)
         try:
             run = jax.jit(partial(T.run_ticks, n=20), static_argnums=2)
-            state = run(state0, sdf, params)
+            state = run(state0, sdf, p)
             _ = int(np.asarray(state.tick))
-            state = run(state, sdf, params)
+            state = run(state, sdf, p)
             _ = int(np.asarray(state.tick))
             t0 = time.perf_counter()
             for _ in range(3):
-                state = run(state, sdf, params)
+                state = run(state, sdf, p)
                 _ = int(np.asarray(state.tick))
             dt = time.perf_counter() - t0
             ms = dt / 60 * 1e3
             results[name] = ms
-            base = results.get("baseline")
-            delta = f"  (saves {base - ms:+.2f} ms)" if base and name != "baseline" else ""
+            base = results.get(
+                "baseline_nopallas" if name in nopallas_variants else "baseline"
+            )
+            delta = (
+                f"  (saves {base - ms:+.2f} ms)"
+                if base and not name.startswith("baseline")
+                else ""
+            )
             print(f"{name:22s} {ms:8.2f} ms/tick{delta}", flush=True)
         finally:
             for v, fn in saved.items():

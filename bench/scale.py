@@ -35,8 +35,12 @@ def main():
 
     speed = 15.0
     for R in rs:
-        # constant linear density on the circle: radius grows with R
-        circle_radius = max(200.0, R * 1.4 / (2 * np.pi))
+        # constant linear density on the circle: radius grows with R.
+        # 4.9 m spacing -> ~20 robots inside the 50 m comms radius, so the
+        # 24-slot capacity covers the true in-range degree (exact reference
+        # connectivity, robot.rs:1441-1586; nbr_overflow is reported and
+        # must stay 0 over the measured window)
+        circle_radius = max(200.0, R * 4.9 / (2 * np.pi))
         world = 2.6 * circle_radius
         specs = circle_formation(R, circle_radius=circle_radius, target_speed=speed)
         params, state, sdf = build_scenario(
@@ -48,13 +52,7 @@ def main():
             internal=10,
             external=10,
             schedule=ScheduleKind.CENTERED,
-            # neighbour-slot capacity sized to the workload's density: the
-            # constant-linear-density circle has mean degree ~0.2 (comms
-            # radius 50 m, spacing 1.4 m along the arc), so 4 slots carry a
-            # >20x headroom; the exchange gathers scale with R*K rows, so
-            # oversizing K is the single largest cost at swarm scale
-            # (overflow is counted — rerun with bigger K if it ever trips)
-            n_slots=4,
+            n_slots=24,
             world=(world, world),
             sdf=np.ones((128, 128)),
             dtype=jnp.float32,
@@ -82,7 +80,8 @@ def main():
         print(
             f"R={R:6d}  {ms:8.2f} ms/tick  {rt:7.2f}x real-time  "
             f"(compile {compile_s:.0f}s, mean_degree "
-            f"{float(jnp.sum(state.nbr_mask)) / R:.2f})"
+            f"{float(jnp.sum(state.nbr_mask)) / R:.2f}, "
+            f"nbr_overflow {int(np.asarray(state.nbr_overflow))})"
         )
 
 

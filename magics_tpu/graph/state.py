@@ -239,6 +239,11 @@ class SimState:
     # (~20x per tick in the Circle-Experiment schedule):
     nbr_back: jax.Array      # [R, K] i32
     nbr_has_back: jax.Array  # [R, K] bool — reciprocal slot exists and alive
+    # New in-range pairs that found no free neighbour slot (cumulative; the
+    # reference connects every in-range pair uncapped, robot.rs:1441-1586 —
+    # nonzero means the K truncation was active and inter-robot connectivity
+    # is a nearest-K approximation for this run):
+    nbr_overflow: jax.Array  # [] i32
     ir_int_seeded: jax.Array  # [R, K, V-1] bool — internal v2f ever written
     # Inbox of the factor owned by (r, k) at chain position i: the external
     # variable's latest delivered response position (its belief/changed-prior
@@ -407,6 +412,7 @@ def init_state(
         nbr_mask=jnp.zeros((R, K), dtype=bool),
         nbr_back=jnp.zeros((R, K), dtype=jnp.int32),
         nbr_has_back=jnp.zeros((R, K), dtype=bool),
+        nbr_overflow=jnp.asarray(0, dtype=jnp.int32),
         ir_int_seeded=jnp.zeros((R, K, Vm1), dtype=bool),
         ir_v2f_ext_pos=zeros(R, K, Vm1, 2),
         ir_f2v_ext=zeros(R, K, Vm1, DOFS),

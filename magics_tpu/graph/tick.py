@@ -223,21 +223,32 @@ def update_connectivity(state: SimState, params: GbpParams, comm=LOCAL) -> SimSt
 
     new_pair = in_range & ~conn  # [Rl, R]
 
-    # Assign new neighbours (ascending id — the reference's BTreeSet
-    # iteration order) to free slots (ascending k). Formulated as
-    # rank/argmax/gather: a scatter with [R, R] updates serialises on TPU
-    # (~14 ms at R=1024 vs ~0.9 ms for this, bench/profile_tick.py).
-    rank = jnp.cumsum(new_pair, axis=1) - 1               # [R, R]
-    cand = []
-    for m in range(K):
-        sel = new_pair & (rank == m)
-        cand.append(jnp.where(jnp.any(sel, axis=1), jnp.argmax(sel, axis=1), -1))
-    cand_id = jnp.stack(cand, axis=1).astype(jnp.int32)   # [R, K] m-th new id
-    free_rank = jnp.cumsum(~keep, axis=1) - 1             # [R, K]
-    new_id = jnp.take_along_axis(cand_id, jnp.clip(free_rank, 0, K - 1), axis=1)
-    nbr_idx_new = jnp.where(~keep & (free_rank >= 0), new_id, -1)
+    # Assign new neighbours to free slots NEAREST-FIRST (ties by ascending
+    # id — lax.top_k is stable). The reference connects every in-range pair
+    # uncapped (robot.rs:1441-1586); with K >= in-range degree this fill is
+    # exact (every new pair lands a slot on both ends, so reciprocity always
+    # holds). When in-range > K the nearest-K truncation applies: distance
+    # is symmetric, so mutual picks survive the reciprocity mask where the
+    # old ascending-id fill collapsed to the lowest-id clique. Dropped
+    # candidates are counted in nbr_overflow (never silent).
+    # top_k + gather, not scatter: a scatter with [R, R] updates serialises
+    # on TPU (~14 ms at R=1024 vs ~0.9 ms, bench/profile_tick.py).
+    inf = jnp.asarray(jnp.inf, d2.dtype)
+    key = jnp.where(new_pair, d2, inf)                    # [Rl, R]
+    neg_d, cand_id = jax.lax.top_k(-key, min(K, R))       # K nearest new pairs
+    cand_ok = neg_d > -inf
+    free_rank = jnp.cumsum(~keep, axis=1) - 1             # [Rl, K]
+    fr = jnp.clip(free_rank, 0, cand_id.shape[1] - 1)
+    new_id = jnp.take_along_axis(cand_id, fr, axis=1).astype(jnp.int32)
+    new_ok = jnp.take_along_axis(cand_ok, fr, axis=1)
+    take = ~keep & (free_rank >= 0) & (free_rank < cand_id.shape[1]) & new_ok
+    nbr_idx_new = jnp.where(take, new_id, -1)
     nbr_idx_new = jnp.where(keep, state.nbr_idx, nbr_idx_new)
-    return _finish_connectivity(state, keep, nbr_idx_new, comm)
+
+    n_new = jnp.sum(new_pair, axis=1)
+    n_free = jnp.sum(~keep, axis=1)
+    dropped = comm.psum(jnp.sum(jnp.maximum(n_new - n_free, 0)))
+    return _finish_connectivity(state, keep, nbr_idx_new, comm, dropped)
 
 
 def grid_candidates(state: SimState, params: GbpParams, comm=LOCAL):
@@ -311,30 +322,49 @@ def update_connectivity_grid(
     connected = jnp.any(cand_idx[:, :, None] == kept_ids[:, None, :], axis=-1)
     new_pair = in_range & ~connected
 
-    # assign new neighbours to free slots in ascending-id order (the dense
-    # path's BTreeSet order): at most K new ids can land in slots, so the K
-    # smallest candidate keys suffice — lax.top_k of the negated keys is
-    # ~5x cheaper than a full [R, M] sort at M ~ 300 (and no scatter: TPU
-    # scatters with [R, M] updates serialise, see bench/profile_tick.py).
-    key = jnp.where(new_pair, cand_idx, R)
+    # assign new neighbours to free slots nearest-first (see
+    # update_connectivity — exact when K >= in-range degree, mutual-nearest
+    # truncation with nbr_overflow accounting beyond that). lax.top_k of the
+    # negated distance keys is ~5x cheaper than a full [R, M] sort at
+    # M ~ 300 (and no scatter: TPU scatters with [R, M] updates serialise,
+    # see bench/profile_tick.py).
+    inf = jnp.asarray(jnp.inf, d2.dtype)
+    key = jnp.where(new_pair, d2, inf)
     M = key.shape[1]
-    neg_topk, _ = jax.lax.top_k(-key, min(K, M))             # [R, K] descending
-    sorted_key = -neg_topk                                   # K smallest, ascending
-    free_rank = jnp.cumsum(~keep, axis=1) - 1                # [R, K]
-    new_id = jnp.take_along_axis(
-        sorted_key, jnp.clip(free_rank, 0, sorted_key.shape[1] - 1), axis=1
+    neg_d, sel = jax.lax.top_k(-key, min(K, M))              # [R, K] nearest
+    sel_ids = jnp.take_along_axis(cand_idx, sel, axis=1).astype(jnp.int32)
+    # canonicalise ties to (distance, id) lexicographic order: the dense
+    # path's top_k over id-ordered columns breaks ties by ascending id, the
+    # stencil's candidate order is bucket order — re-sort so both paths
+    # assign identical slots (circle formations produce exact distance ties)
+    sel_d2, sel_ids = jax.lax.sort(
+        (-neg_d, sel_ids), num_keys=2, dimension=1
     )
-    valid = ~keep & (free_rank >= 0) & (free_rank < M) & (new_id < R)
-    nbr_idx_new = jnp.where(valid, new_id, -1).astype(jnp.int32)
+    sel_ok = sel_d2 < inf
+    free_rank = jnp.cumsum(~keep, axis=1) - 1                # [R, K]
+    fr = jnp.clip(free_rank, 0, sel_ids.shape[1] - 1)
+    new_id = jnp.take_along_axis(sel_ids, fr, axis=1).astype(jnp.int32)
+    new_ok = jnp.take_along_axis(sel_ok, fr, axis=1)
+    valid = ~keep & (free_rank >= 0) & (free_rank < M) & new_ok
+    nbr_idx_new = jnp.where(valid, new_id, -1)
     nbr_idx_new = jnp.where(keep, state.nbr_idx, nbr_idx_new)
-    return _finish_connectivity(state, keep, nbr_idx_new, comm)
+
+    n_new = jnp.sum(new_pair, axis=1)
+    n_free = jnp.sum(~keep, axis=1)
+    dropped = comm.psum(jnp.sum(jnp.maximum(n_new - n_free, 0)))
+    return _finish_connectivity(state, keep, nbr_idx_new, comm, dropped)
 
 
 def _finish_connectivity(
-    state: SimState, keep: jax.Array, nbr_idx_new: jax.Array, comm=LOCAL
+    state: SimState, keep: jax.Array, nbr_idx_new: jax.Array, comm=LOCAL,
+    dropped: jax.Array | None = None,
 ) -> SimState:
     """Shared connectivity tail: reciprocity enforcement, message-state reset
-    for churned slots, and the new-factor belief seeding (robot.rs:1547-1585)."""
+    for churned slots, and the new-factor belief seeding (robot.rs:1547-1585).
+
+    `dropped` counts new in-range pairs that found no free slot this tick
+    (the reference is uncapped, robot.rs:1441-1586 — nonzero means the K
+    truncation is active and connectivity is a nearest-K approximation)."""
     is_new = ~keep & (nbr_idx_new >= 0)
     mask_new = keep | is_new
 
@@ -385,6 +415,11 @@ def _finish_connectivity(
             ir_v2f_ext_pos=ir_v2f_ext_pos,
             ir_f2v_ext=ir_f2v_ext,
             ext_inbox=ext_inbox,
+            nbr_overflow=(
+                state.nbr_overflow
+                if dropped is None
+                else state.nbr_overflow + dropped.astype(jnp.int32)
+            ),
     )
 
 

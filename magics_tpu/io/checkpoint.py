@@ -32,6 +32,16 @@ _FORMAT_VERSION = 1
 # name -> ((R, data) -> np.ndarray), where `data` is the open npz archive.
 # Keep entries forever; never remove.
 _FIELD_DEFAULTS = {
+    # reciprocal-slot cache: recomputed from nbr_idx/nbr_mask by
+    # _finish_connectivity every tick before any consumer reads it, so
+    # zeros are safe for pre-cache checkpoints
+    "nbr_back": lambda R, data: np.zeros(
+        data["ir_int_seeded"].shape[:2], dtype=np.int32
+    ),
+    "nbr_has_back": lambda R, data: np.zeros(
+        data["ir_int_seeded"].shape[:2], dtype=bool
+    ),
+    "nbr_overflow": lambda R, data: np.asarray(0, dtype=np.int32),
     "rr_partner": lambda R, data: np.zeros((R, 0), dtype=np.int32),
     "rr_partner_overflow": lambda R, data: np.asarray(0, dtype=np.int32),
     "vel_log": lambda R, data: np.full_like(data["pos_log"], np.nan),

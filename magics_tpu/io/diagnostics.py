@@ -34,6 +34,7 @@ class DiagnosticsRecorder:
     msgs_received_external: list = dataclasses.field(default_factory=list)
     rr_collisions: list = dataclasses.field(default_factory=list)
     re_collisions: list = dataclasses.field(default_factory=list)
+    nbr_overflow: list = dataclasses.field(default_factory=list)
 
     def sample(self, state, params, t: float) -> None:
         """Fetch the diagnostic scalars for one sample row.
@@ -63,6 +64,7 @@ class DiagnosticsRecorder:
                     msg[3],
                     state.rr_collisions,
                     state.re_collisions,
+                    state.nbr_overflow,
                 ]
             )
         )
@@ -86,6 +88,7 @@ class DiagnosticsRecorder:
         self.msgs_received_external.append(int(row[6]))
         self.rr_collisions.append(int(row[7]))
         self.re_collisions.append(int(row[8]))
+        self.nbr_overflow.append(int(row[9]))
 
     def as_dict(self) -> dict:
         return {
@@ -109,4 +112,7 @@ class DiagnosticsRecorder:
                 "robots": self.rr_collisions,
                 "environment": self.re_collisions,
             },
+            # cumulative neighbour-slot overflow (0 = exact reference
+            # connectivity; >0 = nearest-K truncation was active)
+            "neighbour_overflow": self.nbr_overflow,
         }

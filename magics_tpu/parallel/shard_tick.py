@@ -48,7 +48,7 @@ _ROBOT_AXIS1 = {"pos_log", "vel_log", "viz_mean", "viz_cov", "viz_trk", "ga_hist
 _REPLICATED = {
     "tick", "rng", "log_head",
     "rr_collisions", "re_collisions",
-    "rr_event_count", "re_event_count", "rr_partner_overflow",
+    "rr_event_count", "re_event_count", "rr_partner_overflow", "nbr_overflow",
     "rr_events", "re_events", "ga_aabb",
 }
 

@@ -35,14 +35,19 @@ def make_robot_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 def shard_state(state: SimState, mesh: Mesh) -> SimState:
     """Place every robot-major array with its leading axis on mesh axis "r";
-    scalars and the PRNG key replicate."""
+    ring buffers / goal-area history ([L, R, ...]) shard their axis-1 robot
+    dimension; scalars and the PRNG key replicate. Same layout as
+    shard_tick.state_partition_specs, so the two paths place identically."""
     n_robots = state.active.shape[0]
     shard_r = NamedSharding(mesh, P("r"))
+    shard_r1 = NamedSharding(mesh, P(None, "r"))
     replicated = NamedSharding(mesh, P())
 
     def place(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_robots:
             return jax.device_put(x, shard_r)
+        if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[1] == n_robots:
+            return jax.device_put(x, shard_r1)
         return jax.device_put(x, replicated)
 
     return jax.tree_util.tree_map(place, state)

@@ -46,7 +46,7 @@ class Simulator:
         *,
         seed: int | None = None,
         dtype=jnp.float32,
-        n_slots: int = 16,
+        n_slots: int | None = None,
         max_sim_time: float | None = None,
         viz_log: bool | None = None,
     ):
@@ -159,6 +159,15 @@ class Simulator:
                 [[-8.0, -52.0, 8.0, -48.0], [48.0, -8.0, 52.0, 8.0]]
             )
         self._goal_areas = goal_areas
+
+        if n_slots is None:
+            # The reference connects every in-range pair uncapped
+            # (robot.rs:1441-1586). K = R-1 makes the slot tables exact for
+            # any geometry at experiment scale; the 128 cap bounds memory for
+            # large scenarios, where state.nbr_overflow reports any
+            # truncation that actually occurs.
+            n_slots = max(1, min(len(specs) - 1, 128))
+        self.n_slots = n_slots
 
         sched = cfg.gbp.iteration_schedule
         self._build_kwargs = dict(
@@ -346,6 +355,7 @@ class Simulator:
             "robots": len(self.specs),
             "rr_collisions": int(np.asarray(state.rr_collisions)),
             "re_collisions": int(np.asarray(state.re_collisions)),
+            "nbr_overflow": int(np.asarray(state.nbr_overflow)),
         }
 
     def _harvest_log(self, state) -> None:

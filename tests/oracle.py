@@ -367,6 +367,7 @@ class OracleSim:
         # mirror of the dense implementation's neighbour slot table, used only
         # to reproduce its slot-deterministic tiny offsets in parity mode
         self.slots = [dict() for _ in range(len(starts))]
+        self.nbr_overflow = 0  # parity mode: pairs dropped for lack of a slot
         self.tick_no = 0
 
         self.pos = np.asarray(starts, dtype=np.float64)[:, :2].copy()
@@ -513,14 +514,35 @@ class OracleSim:
             for o in sorted(self.connected[r] - in_range[r]):
                 self._disconnect(r, o)
 
-        # create (robot.rs:1441-1586)
-        new_edges = []
+        # create (robot.rs:1441-1586). The reference connects every new
+        # in-range pair, uncapped. In parity mode we mirror the dense path's
+        # fixed-capacity slot table exactly: new pairs are assigned to free
+        # slots nearest-first (ties by ascending id — the dense top_k order),
+        # pairs that find no free slot are skipped (dense counts these in
+        # nbr_overflow), and a pair is only created when BOTH ends allocated
+        # a slot this tick (the dense reciprocity mask, _finish_connectivity).
+        assign: dict[int, dict[int, int]] = {}
         for r in range(self.R):
             if not self.active[r]:
+                assign[r] = {}
                 continue
-            for o in sorted(in_range[r] - self.connected[r]):
-                free = sorted(set(range(self.n_slots)) - set(self.slots[r].values()))
-                k_slot = free[0] if free else 0
+            new = sorted(in_range[r] - self.connected[r])
+            if self.parity_interrobot:
+                new.sort(key=lambda o: (np.sum((self.pos[r] - self.pos[o]) ** 2), o))
+            free = sorted(set(range(self.n_slots)) - set(self.slots[r].values()))
+            a: dict[int, int] = {}
+            for o in new:
+                if self.parity_interrobot and not free:
+                    self.nbr_overflow += 1
+                    continue
+                a[o] = free.pop(0) if free else 0
+            assign[r] = a
+
+        new_edges = []
+        for r in range(self.R):
+            for o, k_slot in assign[r].items():
+                if self.parity_interrobot and r not in assign.get(o, {}):
+                    continue  # peer had no free slot — reciprocity drop
                 self.slots[r][o] = k_slot
                 for i in range(1, self.V):
                     fid = (r, 2000 + self.next_factor_number)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from magics_tpu.core.constants import DOFS
-from magics_tpu.core.linalg import marginalize_two_block, mm, mtm
+from magics_tpu.core.linalg import inv4_rowscaled, marginalize_two_block, mm, mtm, mv
 
 
 def dynamic_factor_messages(
@@ -41,6 +41,30 @@ def dynamic_factor_messages(
     Q^-1 = sigma^-2 * [[12 dt^-3 I, -6 dt^-2 I], [-6 dt^-2 I, 4 dt^-1 I]].
 
     Returns (f2v_eta [..., 2, 4], f2v_lam [..., 2, 4, 4]).
+
+    Formulation note (why this is not the generic Schur marginalisation):
+    the factor relation is x_b = Phi x_a + w, w ~ N(0, Q) with the unit
+    upper-triangular transition Phi = [[I, dt I], [0, I]]. The reference's
+    Schur form `lbb - lba (laa + C)^-1 lab` cancels catastrophically when
+    the cavity C is weak — the potential alone is rank-4 over 8 dofs, so the
+    true marginal tends to EXACTLY zero information while each term stays at
+    Q^-1 scale (~1e4). In float32 the roundoff left behind is comparable to
+    genuinely weak messages, which either poisons the chain or forces a
+    floor that drops real information (observed: horizon deceleration never
+    reaches the current state and robots overshoot goals at swarm density).
+    Because Phi is invertible, the Schur result rearranges EXACTLY (pure
+    algebraic identity, verified to f64 roundoff against the Schur form):
+
+        msg to b (cavity C, eta_c on a):
+            S_b  = Q^-1 Phi (Phi^T Q^-1 Phi + C)^-1
+            lam  = S_b C Phi^-1          eta = S_b eta_c
+        msg to a (cavity D, eta_d on b):
+            S_a  = Phi^T Q^-1 (Q^-1 + D)^-1
+            lam  = S_a D Phi             eta = S_a eta_d
+
+    No subtraction appears, a zero cavity yields an exactly-zero (empty)
+    message, and both inverses are of full-rank PSD sums (Q^-1 is full
+    rank), so dynamic factors are never skipped — matching dynamic.rs:79-91.
     """
     batch = delta_t.shape
     eye2 = jnp.eye(2, dtype=dtype)
@@ -63,46 +87,56 @@ def dynamic_factor_messages(
         axis=-2,
     )  # [..., 4, 4]
 
-    # J = [[I, dt I, -I, 0], [0, I, 0, -I]]  (4 x 8), dynamic.rs:44-49
+    # Phi = [[I, dt I], [0, I]], Phi^-1 = [[I, -dt I], [0, I]]
+    # (the a-columns of the reference Jacobian J = [Phi, -I], dynamic.rs:44-49)
     dtb = dt[..., None, None] * eye2
     eye2b = jnp.broadcast_to(eye2, batch + (2, 2))
     zero2b = jnp.broadcast_to(zero2, batch + (2, 2))
-    j_top = jnp.concatenate([eye2b, dtb, -eye2b, zero2b], axis=-1)
-    j_bot = jnp.concatenate([zero2b, eye2b, zero2b, -eye2b], axis=-1)
-    J = jnp.concatenate([j_top, j_bot], axis=-2)  # [..., 4, 8]
-
-    lam_f = mtm(J, mm(qinv, J))  # J^T Q^-1 J, [..., 8, 8]
-
-    # Marginalise to each side. Edge a = var i (block 0), edge b = var i+1.
-    laa = lam_f[..., :4, :4]
-    lab = lam_f[..., :4, 4:]
-    lba = lam_f[..., 4:, :4]
-    lbb = lam_f[..., 4:, 4:]
-
-    eta0 = jnp.zeros(batch + (4,), dtype=dtype)
-
-    # message to var i: other edge is slot 1
-    m0_eta, m0_lam, _ = marginalize_two_block(
-        eta0,
-        v2f_eta[..., 1, :],
-        laa,
-        lab,
-        lba,
-        lbb + v2f_lam[..., 1, :, :],
+    phi = jnp.concatenate(
+        [
+            jnp.concatenate([eye2b, dtb], axis=-1),
+            jnp.concatenate([zero2b, eye2b], axis=-1),
+        ],
+        axis=-2,
+    )  # [..., 4, 4]
+    phi_inv = jnp.concatenate(
+        [
+            jnp.concatenate([eye2b, -dtb], axis=-1),
+            jnp.concatenate([zero2b, eye2b], axis=-1),
+        ],
+        axis=-2,
     )
-    # message to var i+1: other edge is slot 0
-    m1_eta, m1_lam, _ = marginalize_two_block(
-        eta0,
-        v2f_eta[..., 0, :],
-        lbb,
-        lba,
-        lab,
-        laa + v2f_lam[..., 0, :, :],
-    )
+
+    qinv_phi = mm(qinv, phi)               # [..., 4, 4]
+    m_aa = mtm(phi, qinv_phi)              # Phi^T Q^-1 Phi (== laa)
+
+    cav_a_eta = v2f_eta[..., 0, :]
+    cav_a_lam = v2f_lam[..., 0, :, :]
+    cav_b_eta = v2f_eta[..., 1, :]
+    cav_b_lam = v2f_lam[..., 1, :, :]
+
+    # message to var i+1 (slot 1), cavity on var i
+    t_b, _ = inv4_rowscaled(m_aa + cav_a_lam)
+    s_b = mm(qinv_phi, t_b)
+    m1_lam = mm(s_b, mm(cav_a_lam, phi_inv))
+    m1_eta = mv(s_b, cav_a_eta)
+
+    # message to var i (slot 0), cavity on var i+1
+    t_a, _ = inv4_rowscaled(qinv + cav_b_lam)
+    s_a = mm(jnp.swapaxes(qinv_phi, -1, -2), t_a)
+    m0_lam = mm(s_a, mm(cav_b_lam, phi))
+    m0_eta = mv(s_a, cav_b_eta)
+
+    # symmetrise (exact result is symmetric; the product form can carry
+    # tiny asymmetric roundoff) and guard non-finite inputs
+    m0_lam = 0.5 * (m0_lam + jnp.swapaxes(m0_lam, -1, -2))
+    m1_lam = 0.5 * (m1_lam + jnp.swapaxes(m1_lam, -1, -2))
 
     f2v_eta = jnp.stack([m0_eta, m1_eta], axis=-2)
     f2v_lam = jnp.stack([m0_lam, m1_lam], axis=-3)
-    return f2v_eta, f2v_lam
+    ok_eta = jnp.isfinite(f2v_eta)
+    ok_lam = jnp.isfinite(f2v_lam)
+    return jnp.where(ok_eta, f2v_eta, 0.0), jnp.where(ok_lam, f2v_lam, 0.0)
 
 
 def obstacle_delta(sdf_shape: tuple[int, int], world_size: tuple[float, float]) -> float:

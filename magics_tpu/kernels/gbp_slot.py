@@ -180,6 +180,27 @@ def _marginalize(eta_a, eta_b, laa, lab, lba, lbb, rtol):
     return eta_msg, lam_msg, valid
 
 
+def _dyn_message(front, mid, cav_eta, cav_lam, tail):
+    """One cancellation-free dynamic-factor message on planes:
+    S = front @ inv(mid + cav_lam); lam = S @ cav_lam @ tail; eta = S @ cav_eta
+    (see factors.dynamic_factor_messages). Symmetrised, non-finite zeroed."""
+    t, _ = _inv4_rowscaled(_madd(mid, cav_lam))
+    s = _matmat(front, t)
+    lam = _matmat(s, _matmat(cav_lam, tail))
+    eta = _matvec(s, cav_eta)
+    lam = [
+        [0.5 * (lam[i][j] + lam[j][i]) for j in range(4)]
+        for i in range(4)
+    ]
+    finite = jnp.isfinite(eta[0])
+    for i in range(4):
+        finite = finite & jnp.isfinite(eta[i])
+        for j in range(4):
+            finite = finite & jnp.isfinite(lam[i][j])
+    ok = finite.astype(eta[0].dtype)
+    return [e * ok for e in eta], [[l * ok for l in row] for row in lam]
+
+
 def _shift_pad_front(x, pad_row):
     """[V-1, R] -> [V, R] by inserting a zero row at the top (align to vars
     1..V-1)."""
@@ -298,15 +319,23 @@ def _slot_kernel(p: SlotParams, *refs):
         def qblk(s, i, j):
             return s if i == j else zero
 
-        # potential blocks: J = [[I, dt I, -I, 0], [0, I, 0, -I]] (4x8);
-        # aa = Ja^T Qinv Ja, ab = -Ja^T Qinv, bb = Qinv with
-        # Ja = [[I, dt I], [0, I]] — all 2x2-scalar-block ⊗ I2.
+        # Cancellation-free form (see factors.dynamic_factor_messages):
+        # with x_b = Phi x_a + w, Phi = [[I, dt I], [0, I]], the Schur
+        # marginal rearranges exactly to products with no subtraction:
+        #   msg to b:  S_b = Qinv Phi (Phi^T Qinv Phi + C)^-1,
+        #              lam = S_b C Phi^-1, eta = S_b eta_c
+        #   msg to a:  S_a = Phi^T Qinv (Qinv + D)^-1,
+        #              lam = S_a D Phi,   eta = S_a eta_d
+        # All structured matrices are 2x2-scalar-blocks ⊗ I2.
         s1 = dt * q11 + q12
         s2 = dt * q12 + q22
-        # 2x2 scalar blocks (each expands to ⊗I2):
+        # Phi^T Qinv Phi (the aa potential block), Qinv, Qinv Phi:
         aa_b = [[q11, q11 * dt + q12], [s1, s1 * dt + s2]]
-        ab_b = [[-q11, -q12], [-s1, -s2]]
         bb_b = [[q11, q12], [q12, q22]]
+        qphi_b = [[q11, q11 * dt + q12], [q12, q12 * dt + q22]]
+        one = jnp.ones_like(dt)
+        phi_b = [[one, dt], [zero, one]]
+        phi_inv_b = [[one, -dt], [zero, one]]
 
         def expand(b):  # 2x2 scalar blocks -> 4x4 planes (⊗ I2)
             m = [[zero for _ in range(4)] for _ in range(4)]
@@ -317,22 +346,19 @@ def _slot_kernel(p: SlotParams, *refs):
             return m
 
         laa = expand(aa_b)
-        lab = expand(ab_b)
-        lba = [[lab[j][i] for j in range(4)] for i in range(4)]  # symmetric pot.
-        lbb = expand(bb_b)
+        qinv = expand(bb_b)
+        qinv_phi = expand(qphi_b)
+        phi_qinv = [[qinv_phi[j][i] for j in range(4)] for i in range(4)]
+        phi = expand(phi_b)
+        phi_inv = expand(phi_inv_b)
 
         v2f_eta0 = _vec(ins["dyn_v2f_eta"][0])
         v2f_eta1 = _vec(ins["dyn_v2f_eta"][1])
         v2f_lam0 = _mat(ins["dyn_v2f_lam"][0])
         v2f_lam1 = _mat(ins["dyn_v2f_lam"][1])
-        ezero = [zero, zero, zero, zero]
 
-        m0_eta, m0_lam, _ = _marginalize(
-            ezero, v2f_eta1, laa, lab, lba, _madd(lbb, v2f_lam1), p.rtol
-        )
-        m1_eta, m1_lam, _ = _marginalize(
-            ezero, v2f_eta0, lbb, lba, lab, _madd(laa, v2f_lam0), p.rtol
-        )
+        m0_eta, m0_lam = _dyn_message(phi_qinv, qinv, v2f_eta1, v2f_lam1, phi)
+        m1_eta, m1_lam = _dyn_message(qinv_phi, laa, v2f_eta0, v2f_lam0, phi_inv)
         gk = g1  # [1, R] -> broadcasts over V1 rows
         old_eta = ins["dyn_f2v_eta"]
         old_lam = ins["dyn_f2v_lam"]

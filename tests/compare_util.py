@@ -107,6 +107,7 @@ def build_pair(
         hz=hz,
         despawn_on_final=despawn,
         factors=factors,
+        n_slots=n_slots,
     )
     return params, state, sdf, oracle
 

@@ -1,0 +1,87 @@
+"""Behavioral contracts of the shipped experiment scenarios.
+
+The round-3 review showed that 'builds + finite' assertions let a
+connectivity-collapse defect survive a green suite: these tests assert the
+experiments' implicit contracts (the conditions the reference's experiment
+scripts rely on, scripts/run-circle-expertiment.fish:22-45) so that breaking
+the inter-robot lifecycle or the production-dtype numerics turns the suite
+red:
+
+* Circle Experiment: every active robot carries full inter-robot
+  connectivity (degree R-1, comms radius 50 covers the shrinking circle),
+  all 30 robots complete well inside the experiment budget, collisions stay
+  bounded, and no neighbour-slot overflow occurs.
+* Junction Experiment: goal areas record robot arrivals.
+
+These run the REAL scenario configs at the production float32 dtype on CPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from magics_tpu.config.loader import load_scenario
+from magics_tpu.sim.simulator import Simulator
+
+REF_SCENARIOS = "/root/reference/config/scenarios"
+
+
+@pytest.mark.slow
+def test_circle_experiment_completes_with_full_connectivity():
+    sim = Simulator(
+        load_scenario(f"{REF_SCENARIOS}/Circle Experiment"), max_sim_time=80.0
+    )
+    R = len(sim.specs)
+    assert R == 30
+    # auto-sized slot capacity covers every possible pair
+    assert sim.params.n_slots == R - 1
+
+    # mid-flight connectivity check: run past the spawn delay, then assert
+    # the connection set EQUALS the in-range set (the reference connects all
+    # in-range pairs, robot.rs:1441-1586 — on the spawn circle of radius 50
+    # the 50 m comms radius reaches ~10 neighbours; full degree develops as
+    # the circle contracts)
+    sim.run(max_ticks=15)
+    act = np.asarray(sim.state.active)
+    assert act.sum() == R
+    pos = np.asarray(sim.state.pos)
+    d2 = np.sum((pos[:, None] - pos[None, :]) ** 2, axis=-1)
+    comms = sim.cfg.robot.communication.radius
+    in_range = (d2 <= comms * comms) & ~np.eye(R, dtype=bool)
+    mask = np.asarray(sim.state.nbr_mask)
+    idx = np.asarray(sim.state.nbr_idx)
+    conn = np.zeros((R, R), dtype=bool)
+    conn[np.repeat(np.arange(R), mask.shape[1])[mask.ravel()], idx[mask]] = True
+    # connectivity updates from start-of-tick positions while this check
+    # reads end-of-tick positions; robots close at up to 2*speed, so pairs
+    # within one tick of the boundary may lag one tick — exclude that band
+    # (also covers the exact-chord-50 spawn-geometry knife edge)
+    band = 2.0 * sim.cfg.robot.target_speed * sim.dt + 1e-2
+    off_edge = np.abs(np.sqrt(d2) - comms) > band
+    np.testing.assert_array_equal(conn[off_edge], in_range[off_edge])
+    assert int(conn[0].sum()) >= 8  # geometry sanity: ~10 peers at spawn
+
+    # run to completion
+    result = sim.run()
+    assert result["completed"] == R, result
+    assert result["makespan"] < 60.0, result  # reference-scale makespan
+    assert result["nbr_overflow"] == 0, result
+    # the crush may brush a few pairs; a collision explosion means the
+    # inter-robot factors are not doing their job
+    assert result["rr_collisions"] <= 10, result
+    assert result["re_collisions"] == 0, result
+
+
+@pytest.mark.slow
+def test_junction_experiment_goal_areas_record_arrivals():
+    sim = Simulator(
+        load_scenario(f"{REF_SCENARIOS}/Junction Experiment"), max_sim_time=20.0
+    )
+    assert sim.state.ga_aabb.shape[0] == 2  # the two junction goal areas
+    sim.run()
+    hist = np.asarray(sim.state.ga_history)
+    # robots flowed through the junction and at least one goal area
+    # recorded first-reach timestamps
+    assert (hist >= 0).any(), hist
+    assert int(np.asarray(sim.state.nbr_overflow)) == 0

@@ -119,7 +119,14 @@ def main(argv=None) -> int:
         # a sitecustomize pins platforms, the config update is not
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "tpu":
+            # the TPU backend may be registered under a plugin name (e.g. an
+            # experimental PJRT plugin); leave jax's pinned default in place
+            # rather than forcing the literal name "tpu"
+            if jax.config.jax_platforms == "cpu":
+                jax.config.update("jax_platforms", None)
+        else:
+            jax.config.update("jax_platforms", args.platform)
         if args.dtype == "f64":
             jax.config.update("jax_enable_x64", True)
 

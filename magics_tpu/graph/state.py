@@ -177,6 +177,10 @@ class SimState:
     t0: jax.Array            # [R] — radius / 2 / target_speed (robot.rs:1225)
     antenna: jax.Array       # [R] bool — comms radio currently active
     iter_count_factor: jax.Array  # [R] i32 — factor-pass counter (tracking skip)
+    # MissionState::Idle{waiting}: robot spawned but its in-flight global
+    # plan has not arrived — spawn activation leaves mission_active False so
+    # the GBP tick skips it (robot.rs:1795); cleared by mission.apply_plans
+    plan_pending: jax.Array  # [R] bool
 
     # --- mission / route ---------------------------------------------------
     waypoints: jax.Array     # [R, W, 4] state-vector waypoints (incl. start)
@@ -320,6 +324,7 @@ def init_state(
     fin_check_dist2: np.ndarray,   # [R]
     seed: int = 0,
     goal_areas: np.ndarray | None = None,  # [G, 4]
+    plan_pending: np.ndarray | None = None,  # [R] bool — in-flight planning
 ) -> SimState:
     """Build the initial dense state for a scenario.
 
@@ -374,6 +379,11 @@ def init_state(
         t0=jnp.asarray(radii / 2.0 / params.target_speed, dtype=f),
         antenna=jnp.ones((R,), dtype=bool),
         iter_count_factor=izeros(R),
+        plan_pending=jnp.asarray(
+            plan_pending
+            if plan_pending is not None
+            else np.zeros(R, dtype=bool)
+        ),
         waypoints=jnp.asarray(waypoints, dtype=f),
         n_waypoints=jnp.asarray(n_waypoints, dtype=jnp.int32),
         target_idx=jnp.ones((R,), dtype=jnp.int32),

@@ -97,7 +97,12 @@ def _gather_robot(arr: jax.Array, nbr_idx, mask):
 # --------------------------------------------------------------------------
 
 def activate_due_spawns(state: SimState) -> SimState:
-    """Activate robots whose spawn tick has arrived (spawner.rs timers)."""
+    """Activate robots whose spawn tick has arrived (spawner.rs timers).
+
+    Robots awaiting an in-flight global plan spawn Idle: active (they exist
+    in the world) but not mission-active, so the GBP tick and prior updates
+    skip them until mission.apply_plans delivers the path
+    (MissionState::Idle, robot.rs:574-647)."""
     due = (
         (~state.active)
         & (~state.completed)
@@ -107,7 +112,7 @@ def activate_due_spawns(state: SimState) -> SimState:
     return replace(
         state,
         active=state.active | due,
-        mission_active=state.mission_active | due,
+        mission_active=state.mission_active | (due & ~state.plan_pending),
     )
 
 

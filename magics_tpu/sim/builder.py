@@ -34,8 +34,14 @@ class RobotSpec:
     wp_check_dist: float | None = None   # None -> robot radius
     fin_check_dist: float | None = None
     # "only-local" | "rrt-star" (gbp_config formation.rs:46-52); with
-    # rrt-star the waypoint list already contains the planned global path
+    # rrt-star the waypoint list contains either the pre-planned global path
+    # or (in-flight mode) the straight taskpoint chain used as a fallback
     planning_strategy: str = "only-local"
+    # in-flight planning (robot.rs:562-812): the robot spawns Idle and the
+    # MissionManager plans route segments asynchronously during the run;
+    # `taskpoints` [T, 2] are the route endpoints to plan between
+    inflight: bool = False
+    taskpoints: np.ndarray | None = None
 
 
 def circle_formation(
@@ -77,6 +83,7 @@ def build_scenario(
     lookahead_multiple: int = 3,
     n_slots: int = 8,
     capacity: int | None = None,
+    waypoint_capacity: int | None = None,
     sdf: np.ndarray | None = None,
     world: tuple[float, float] = (100.0, 100.0),
     dtype=jnp.float32,
@@ -92,6 +99,12 @@ def build_scenario(
     if sdf is None:
         sdf = np.ones((8, 8))
     Wmax = max(len(s.waypoints) for s in specs)
+    if any(s.inflight for s in specs):
+        # reserve room for in-flight planned paths (mission.apply_plans
+        # resamples longer paths down to this capacity)
+        Wmax = max(Wmax, waypoint_capacity or 64)
+    elif waypoint_capacity:
+        Wmax = max(Wmax, waypoint_capacity)
 
     param_overrides.setdefault(
         "max_robot_radius", float(max(s.radius for s in specs))
@@ -134,6 +147,10 @@ def build_scenario(
         wp_d2[i] = (s.wp_check_dist if s.wp_check_dist is not None else s.radius) ** 2
         fin_d2[i] = (s.fin_check_dist if s.fin_check_dist is not None else s.radius) ** 2
 
+    pending = np.zeros(R, dtype=bool)
+    for i, s in enumerate(specs):
+        pending[i] = s.inflight
+
     state = init_state(
         params,
         n_robots=R,
@@ -149,5 +166,6 @@ def build_scenario(
         fin_check_dist2=fin_d2,
         seed=seed,
         goal_areas=goal_areas,
+        plan_pending=pending,
     )
     return params, state, jnp.asarray(sdf, dtype=dtype)

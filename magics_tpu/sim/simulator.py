@@ -49,7 +49,13 @@ class Simulator:
         n_slots: int | None = None,
         max_sim_time: float | None = None,
         viz_log: bool | None = None,
+        inflight_planning: bool = True,
     ):
+        """`inflight_planning`: rrt-star formations plan their route segments
+        asynchronously DURING the run (the reference's mission state machine,
+        robot.rs:562-812) — robots spawn Idle and activate when their plan
+        arrives. False pre-plans every segment at build time instead
+        (deterministic paths, no Idle phase)."""
         self.scenario = scenario
         cfg = scenario.config
         self.cfg = cfg
@@ -92,22 +98,29 @@ class Simulator:
                 start_idx = len(specs)
                 for i in range(f.robots):
                     wps_i = [w[i] for w in wp_lists]
+                    taskpoints = None
+                    inflight = False
                     if f.planning_strategy == "rrt-star":
-                        # pre-planned analogue of the async RRT* mission flow
-                        # (robot.rs:562-812): plan each route segment at
-                        # build time; the path becomes the robot's waypoint
-                        # list, which also feeds the tracking factors.
-                        planner = self._global_planner()
-                        chain_pts = [np.asarray(initial[i], dtype=np.float64)] + [
-                            np.asarray(w, dtype=np.float64) for w in wps_i
-                        ]
-                        planned = [chain_pts[0]]
-                        for a, b in zip(chain_pts, chain_pts[1:]):
-                            seg = planner.plan(a, b, seed=int(rng.integers(2**62)))
-                            if seg is None:  # PathfindingError — go direct
-                                seg = np.stack([a, b])
-                            planned.extend(list(seg[1:]))
-                        wps_i = planned[1:]
+                        taskpoints = np.stack(
+                            [np.asarray(initial[i], dtype=np.float64)]
+                            + [np.asarray(w, dtype=np.float64) for w in wps_i]
+                        )
+                        if inflight_planning:
+                            # async mission flow (robot.rs:562-812): the
+                            # waypoint list below is only the straight-chain
+                            # fallback; MissionManager plans segments during
+                            # the run and swaps in the real paths
+                            inflight = True
+                        else:
+                            # pre-planned mode: plan every segment now
+                            planner = self._global_planner()
+                            planned = [taskpoints[0]]
+                            for a, b in zip(taskpoints, taskpoints[1:]):
+                                seg = planner.plan(a, b, seed=int(rng.integers(2**62)))
+                                if seg is None:  # PathfindingError — go direct
+                                    seg = np.stack([a, b])
+                                planned.extend(list(seg[1:]))
+                            wps_i = planned[1:]
                     # velocities (spawner.rs:470-500): each pose points at the
                     # next waypoint at target speed; last copies second-last
                     chain = [initial[i]] + wps_i
@@ -132,6 +145,8 @@ class Simulator:
                             wp_check_dist=wp_check.distance,
                             fin_check_dist=fin_check.distance,
                             planning_strategy=f.planning_strategy,
+                            inflight=inflight,
+                            taskpoints=taskpoints,
                         )
                     )
                 self._spawn_groups.append((start_idx, f.robots))
@@ -221,6 +236,10 @@ class Simulator:
         )
         self.env_dist = jnp.asarray(self.env_dist_np, dtype=dtype)
 
+        self.mission = None
+        if any(sp.inflight for sp in specs):
+            self.mission = self._make_mission()
+
         from magics_tpu.io.diagnostics import DiagnosticsRecorder
 
         self.diagnostics = DiagnosticsRecorder(n_vars=self.params.n_vars)
@@ -249,6 +268,17 @@ class Simulator:
             )
         return self._planner
 
+    def _make_mission(self):
+        from magics_tpu.planner.mission import MissionManager
+
+        mission = MissionManager(
+            self.params, self._global_planner, seed=self.seed ^ 0x5EED
+        )
+        for i, sp in enumerate(self.specs):
+            if sp.inflight:
+                mission.add_robot(i, sp.taskpoints)
+        return mission
+
     def reset(self, seed: int | None = None) -> None:
         """Hot-reload the scenario (the F5 flow, simulation_loader.rs:687-713):
         despawn everything, reset virtual time, reseed the PRNG, rebuild the
@@ -264,6 +294,9 @@ class Simulator:
             rl.velocities = []
             rl.finished_at = None
         self.diagnostics = DiagnosticsRecorder(n_vars=self.params.n_vars)
+        if self.mission is not None:
+            self.mission.shutdown()
+            self.mission = self._make_mission()
 
     def save_settings(self, path=None) -> Path:
         """Persist the live Config back to the scenario's config.toml (the
@@ -309,7 +342,12 @@ class Simulator:
         fetches a completion flag per chunk and the full log once at the end.
         """
         max_ticks = max_ticks or int(self.max_sim_time * self.hz)
-        runner = jax.jit(partial(T.run_ticks, n=chunk_ticks), static_argnums=2)
+        runners: dict[int, object] = {}
+
+        def run_chunk(state, n):
+            if n not in runners:
+                runners[n] = jax.jit(partial(T.run_ticks, n=n), static_argnums=2)
+            return runners[n](state, self.sdf, self.params, env_dist=self.env_dist)
 
         state = self.state
         tick = int(np.asarray(state.tick))  # nonzero when resumed
@@ -318,18 +356,17 @@ class Simulator:
             int(checkpoint_every_s * self.hz) if checkpoint_every_s else None
         )
         last_ckpt = tick
-        rem_runner = None
         while tick < max_ticks:
             n = min(chunk_ticks, max_ticks - tick)
-            if n == chunk_ticks:
-                state = runner(state, self.sdf, self.params, env_dist=self.env_dist)
-            else:  # exact final chunk so the run stops at max-time
-                if rem_runner is None:
-                    rem_runner = jax.jit(
-                        partial(T.run_ticks, n=n), static_argnums=2
-                    )
-                state = rem_runner(state, self.sdf, self.params, env_dist=self.env_dist)
+            if self.mission is not None and self.mission.active:
+                # in-flight plans resolve between chunks; poll at near-tick
+                # granularity while any mission is unfinished (the reference
+                # polls every FixedUpdate, robot.rs:643-648)
+                n = min(n, 5)
+            state = run_chunk(state, n)
             tick += n
+            if self.mission is not None:
+                state = self.mission.poll(state, tick)
             self.diagnostics.sample(state, self.params, tick * self.dt)
             n_done = self.diagnostics.completed[-1]
             if progress is not None:
@@ -342,7 +379,11 @@ class Simulator:
                 self.state = state
                 self.save_checkpoint(checkpoint_path)
                 last_ckpt = tick
-            if tick >= last_spawn and n_done == len(self.specs):
+            if (
+                tick >= last_spawn
+                and n_done == len(self.specs)
+                and (self.mission is None or not self.mission.active)
+            ):
                 break
 
         self.state = state

@@ -16,6 +16,101 @@ import time
 from pathlib import Path
 
 
+def interactive_loop(sim, *, quiet: bool = False) -> dict:
+    """Pause/play + manual stepping REPL over a live simulation.
+
+    Virtual time only advances on `step`/`run` — the paused prompt IS the
+    reference's pause state (pause_play.rs:16-47); `step` is manual stepping
+    (robot.rs:2448-2519, `manual-step-factor` granularity); `reset` is the
+    F5 scenario-reload flow. Commands act on the running device state, so
+    exports/checkpoints snapshot mid-run.
+    """
+    import sys
+
+    import numpy as np
+
+    def status() -> dict:
+        import numpy as np
+
+        st = sim.state
+        tick = int(np.asarray(st.tick))
+        return {
+            "ticks": tick,
+            "makespan": tick * sim.dt,
+            "completed": int(np.asarray(st.completed).sum()),
+            "robots": len(sim.specs),
+            "rr_collisions": int(np.asarray(st.rr_collisions)),
+            "re_collisions": int(np.asarray(st.re_collisions)),
+            "nbr_overflow": int(np.asarray(st.nbr_overflow)),
+        }
+
+    def emit(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    step_factor = max(1, int(sim.cfg.simulation.manual_step_factor))
+    max_ticks = int(sim.max_sim_time * sim.hz)
+    emit(
+        "interactive: run [seconds] | step [n] | status | export PATH | "
+        "checkpoint PATH | reset [seed] | quit"
+    )
+    while True:
+        emit(f"[t={int(np.asarray(sim.state.tick)) * sim.dt:.1f}s paused] > ")
+        line = sys.stdin.readline()
+        if not line:
+            break
+        parts = line.split()
+        if not parts:
+            continue
+        cmd, rest = parts[0], parts[1:]
+        try:
+            if cmd in ("q", "quit", "exit"):
+                break
+            elif cmd in ("s", "step"):
+                n = int(rest[0]) if rest else step_factor
+                tick = int(np.asarray(sim.state.tick))
+                sim.run(max_ticks=tick + n, chunk_ticks=n)
+            elif cmd in ("r", "run"):
+                tick = int(np.asarray(sim.state.tick))
+                limit = (
+                    tick + int(float(rest[0]) * sim.hz) if rest else max_ticks
+                )
+                sim.run(max_ticks=limit)
+            elif cmd == "status":
+                import json as _json
+
+                emit(_json.dumps(status()))
+            elif cmd == "export" and rest:
+                sim.final_tick = int(np.asarray(sim.state.tick))
+                sim._harvest_log(sim.state)
+                sim.export(rest[0])
+                emit(f"exported to {rest[0]}")
+            elif cmd == "checkpoint" and rest:
+                sim.save_checkpoint(rest[0])
+                emit(f"checkpoint: {rest[0]}")
+            elif cmd == "save-settings":
+                out = sim.save_settings(rest[0] if rest else None)
+                emit(f"settings saved to {out}")
+            elif cmd == "reset":
+                sim.reset(seed=int(rest[0]) if rest else None)
+                emit("scenario reloaded (F5)")
+            elif cmd in ("h", "help"):
+                emit(
+                    "run [seconds] — advance virtual time (to max-time "
+                    "without an argument); step [n] — advance n ticks "
+                    f"(default {step_factor}); status; export PATH; "
+                    "checkpoint PATH; save-settings [PATH]; reset [seed]; "
+                    "quit"
+                )
+            else:
+                emit(f"unknown command: {cmd} (try 'help')")
+        except Exception as e:  # keep the session alive on bad input
+            emit(f"error: {type(e).__name__}: {e}")
+
+    sim.final_tick = int(np.asarray(sim.state.tick))
+    sim._harvest_log(sim.state)
+    return status()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="magics-tpu", description=__doc__)
     p.add_argument("-i", "--initial-scenario", help="scenario name or directory path")
@@ -91,6 +186,12 @@ def main(argv=None) -> int:
         help="capture a jax/XLA device profile of the run into DIR "
         "(view with xprof/tensorboard; the reference's flamegraph/dhat "
         "profiles analog, Cargo.toml:149-152)",
+    )
+    p.add_argument(
+        "--interactive", action="store_true",
+        help="drive the simulation from a REPL: pause/step/run virtual time "
+        "(pause_play.rs:16-47, manual stepping robot.rs:2448-2519), reload "
+        "(F5 flow), export/checkpoint mid-run",
     )
     p.add_argument("--quiet", action="store_true")
     p.add_argument(
@@ -282,11 +383,14 @@ def main(argv=None) -> int:
 
         profile_cm = contextlib.nullcontext()
     with profile_cm:
-        summary = sim.run(
-            progress=progress,
-            checkpoint_path=args.checkpoint,
-            checkpoint_every_s=args.checkpoint_every,
-        )
+        if args.interactive:
+            summary = interactive_loop(sim, quiet=args.quiet)
+        else:
+            summary = sim.run(
+                progress=progress,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every_s=args.checkpoint_every,
+            )
     if args.profile and not args.quiet:
         print(f"profile: {args.profile}", file=sys.stderr)
     summary["wall_s"] = round(time.perf_counter() - t0, 2)

@@ -90,6 +90,44 @@ def interactive_loop(sim, *, quiet: bool = False) -> dict:
             elif cmd == "save-settings":
                 out = sim.save_settings(rest[0] if rest else None)
                 emit(f"settings saved to {out}")
+            elif cmd == "set" and len(rest) == 2:
+                # live config editing with immediate effect (ui/settings.rs):
+                # GbpParams is static under jit, so the next step simply
+                # compiles against the new value
+                import dataclasses as _dc
+
+                key, value = rest[0].replace("-", "_"), rest[1]
+                live = {
+                    "comms_radius": float,
+                    "comms_failure_rate": float,
+                    "sigma_factor_dynamics": float,
+                    "sigma_factor_interrobot": float,
+                    "sigma_factor_obstacle": float,
+                    "sigma_factor_tracking": float,
+                    "safety_distance_multiplier": float,
+                    "dynamic_enabled": lambda v: v.lower() == "true",
+                    "interrobot_enabled": lambda v: v.lower() == "true",
+                    "obstacle_enabled": lambda v: v.lower() == "true",
+                    "tracking_enabled": lambda v: v.lower() == "true",
+                }
+                if key not in live:
+                    emit(f"not live-editable: {key} (editable: {', '.join(live)})")
+                else:
+                    sim.params = _dc.replace(sim.params, **{key: live[key](value)})
+                    emit(f"{key} = {getattr(sim.params, key)}")
+            elif cmd == "snapshot" and rest:
+                from magics_tpu.env.sdf import env_to_image
+                from magics_tpu.viz.render import render_trajectories
+
+                sim.final_tick = int(np.asarray(sim.state.tick))
+                sim._harvest_log(sim.state)
+                export = sim.export()
+                obstacle = env_to_image(sim.scenario.environment, expansion=0.0) == 0
+                render_trajectories(
+                    export, rest[0], obstacle=obstacle,
+                    world=sim.scenario.environment.world_size,
+                )
+                emit(f"snapshot: {rest[0]}")
             elif cmd == "reset":
                 sim.reset(seed=int(rest[0]) if rest else None)
                 emit("scenario reloaded (F5)")
@@ -98,8 +136,9 @@ def interactive_loop(sim, *, quiet: bool = False) -> dict:
                     "run [seconds] — advance virtual time (to max-time "
                     "without an argument); step [n] — advance n ticks "
                     f"(default {step_factor}); status; export PATH; "
-                    "checkpoint PATH; save-settings [PATH]; reset [seed]; "
-                    "quit"
+                    "snapshot PATH.png; checkpoint PATH; set KEY VALUE "
+                    "(live config edit); save-settings [PATH]; "
+                    "reset [seed]; quit"
                 )
             else:
                 emit(f"unknown command: {cmd} (try 'help')")

@@ -71,15 +71,18 @@ def _gather_from_peer(arr: jax.Array, nbr_idx, back, mask):
     """out[r, k, ...] = arr[nbr_idx[r,k], back[r,k], ...], 0 where ~mask.
     `arr` must be a GLOBAL [R_total, K, ...] array (comm.all_robots'd).
 
-    Lowered as a single-axis row gather on the flattened [R*K, ...] table —
-    ~10% faster than the two-batch-dim form at swarm scale (XLA picks a
-    better layout for the one-dimensional start-index map)."""
+    Lowered as a single-axis row gather on the flattened [R*K, ...] table,
+    with operand and result layout-pinned row-major (kernels/layout.py —
+    XLA otherwise assigns the Pallas kernels' robot-minor layout to these
+    tables and the gather scalarises, ~9x slower at swarm scale)."""
+    from magics_tpu.kernels.layout import layout_pin
+
     R = arr.shape[0]
     K = arr.shape[1]
     rest = arr.shape[2:]
-    flat = arr.reshape(R * K, *rest)
+    flat = layout_pin(arr.reshape(R * K, -1))
     idx = jnp.clip(nbr_idx, 0, R - 1) * K + jnp.clip(back, 0, K - 1)
-    out = flat[idx]
+    out = layout_pin(flat[idx.reshape(-1)]).reshape(idx.shape + rest)
     return jnp.where(_exp(mask, out.ndim - 2), out, 0)
 
 

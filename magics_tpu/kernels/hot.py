@@ -289,6 +289,8 @@ def iterate_gbp_hot(
 
             # ---- response delivery (robot.rs:1843-1858): the factor only
             # uses the responder's belief mean position (graph/tick.py) ----
+            from magics_tpu.kernels.layout import layout_pin
+
             bm_pos = comm.all_robots(
                 jnp.transpose(hot["belief_mean"][:2, 1:, :R], (2, 1, 0))
             )  # [R_total, V-1, 2]
@@ -301,9 +303,16 @@ def iterate_gbp_hot(
                 & gate_all[src]
                 & has_back
             )[..., None]
-            safe = src
+            # row-major pin on both sides of the gather (kernels/layout.py):
+            # the hot planes otherwise push a robot-minor layout onto it and
+            # the per-slot row gather scalarises
+            Vm1 = bm_pos.shape[1]
+            flat_pos = layout_pin(bm_pos.reshape(bm_pos.shape[0], -1))
+            picked = layout_pin(flat_pos[src.reshape(-1)]).reshape(
+                src.shape + (Vm1, 2)
+            )
             in_pos = jnp.where(
-                (st.nbr_mask)[..., None, None], bm_pos[safe], 0
+                (st.nbr_mask)[..., None, None], picked, 0
             )
             st = replace(
                 st,

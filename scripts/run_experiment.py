@@ -32,6 +32,10 @@ def main(argv=None) -> int:
                    help="start:stop:step sweep of the first formation's robot "
                         "count (e.g. 5:50:5); default: scenario as-is")
     p.add_argument("--max-time", type=float, default=None)
+    p.add_argument("--failure-rates", default=None,
+                   help="comma list sweeping robot.communication.failure-rate "
+                        "(the reference's comms-failure harness sweeps "
+                        "0.0..0.7, run-communication-failure-expertiment.fish)")
     p.add_argument("--out", default="experiment-out")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None)
     args = p.parse_args(argv)
@@ -56,29 +60,42 @@ def main(argv=None) -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
     base = load_scenario(Path(args.scenarios_dir) / args.scenario)
 
+    failure_rates = (
+        [float(x) for x in args.failure_rates.split(",")]
+        if args.failure_rates
+        else [None]
+    )
+
     summary: list[dict] = []
     for n in robot_counts:
-        for seed in seeds:
-            sc = copy.deepcopy(base)
-            if n is not None:
-                sc.formations.formations[0].robots = n
-            t0 = time.perf_counter()
-            sim = Simulator(sc, seed=seed, max_sim_time=args.max_time,
-                            viz_log=False)
-            result = sim.run()
-            tag = f"{args.scenario.replace(' ', '-')}_r{n or 'cfg'}_s{seed}"
-            export = sim.export(out_dir / f"export_{tag}.json")
-            metrics = analyse(export)
-            metrics.pop("per_robot", None)
-            row = {
-                "robots": n or len(sim.specs),
-                "seed": seed,
-                "wall_s": round(time.perf_counter() - t0, 2),
-                **result,
-                "metrics": metrics,
-            }
-            summary.append(row)
-            print(json.dumps(row))
+        for fr in failure_rates:
+            for seed in seeds:
+                sc = copy.deepcopy(base)
+                if n is not None:
+                    sc.formations.formations[0].robots = n
+                if fr is not None:
+                    sc.config.robot.communication.failure_rate = fr
+                t0 = time.perf_counter()
+                sim = Simulator(sc, seed=seed, max_sim_time=args.max_time,
+                                viz_log=False)
+                result = sim.run()
+                tag = f"{args.scenario.replace(' ', '-')}_r{n or 'cfg'}" + (
+                    f"_f{fr}" if fr is not None else ""
+                ) + f"_s{seed}"
+                export = sim.export(out_dir / f"export_{tag}.json")
+                metrics = analyse(export)
+                metrics.pop("per_robot", None)
+                row = {
+                    "robots": n or len(sim.specs),
+                    "seed": seed,
+                    "wall_s": round(time.perf_counter() - t0, 2),
+                    **result,
+                    "metrics": metrics,
+                }
+                if fr is not None:
+                    row["failure_rate"] = fr
+                summary.append(row)
+                print(json.dumps(row))
 
     (out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
     print(f"wrote {out_dir / 'summary.json'}", file=sys.stderr)

@@ -81,7 +81,8 @@ def main():
             f"R={R:6d}  {ms:8.2f} ms/tick  {rt:7.2f}x real-time  "
             f"(compile {compile_s:.0f}s, mean_degree "
             f"{float(jnp.sum(state.nbr_mask)) / R:.2f}, "
-            f"nbr_overflow {int(np.asarray(state.nbr_overflow))})"
+            f"nbr_overflow {int(np.asarray(state.nbr_overflow))}, "
+            f"grid_overflow {int(np.asarray(state.grid_overflow))})"
         )
 
 

@@ -85,7 +85,12 @@ class RegularPolygon:
         return np.array(pts)
 
     def inside(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
-        return _point_in_polygon(x, y, self.points())
+        # reference quirk (gbp_environment lib.rs:298-301): the query point is
+        # scaled by 2 before the ray cast, so the polygon renders at HALF its
+        # nominal radius (the parry2d collider agrees: map_generator.rs:349-366
+        # scales unit points by tile_size / 2). Missing this doubled obstacle
+        # size and jammed the cluttered-circle scenarios (round-5 fix).
+        return _point_in_polygon(x * 2.0, y * 2.0, self.points())
 
 
 @dataclasses.dataclass

@@ -248,6 +248,12 @@ class SimState:
     # nonzero means the K truncation was active and inter-robot connectivity
     # is a nearest-K approximation for this run):
     nbr_overflow: jax.Array  # [] i32
+    # Robots dropped from over-full spatial-grid buckets (grid mode only;
+    # cumulative over the run). Nonzero means `grid_capacity` is undersized
+    # for the density and neighbour discovery / collision detection saw a
+    # subset of candidates — the in-state analogue of grid.grid_overflow
+    # (the reference's all-pairs scans are uncapped, robot.rs:1362-1384):
+    grid_overflow: jax.Array  # [] i32
     ir_int_seeded: jax.Array  # [R, K, V-1] bool — internal v2f ever written
     # Inbox of the factor owned by (r, k) at chain position i: the external
     # variable's latest delivered response position (its belief/changed-prior
@@ -423,6 +429,7 @@ def init_state(
         nbr_back=jnp.zeros((R, K), dtype=jnp.int32),
         nbr_has_back=jnp.zeros((R, K), dtype=bool),
         nbr_overflow=jnp.asarray(0, dtype=jnp.int32),
+        grid_overflow=jnp.asarray(0, dtype=jnp.int32),
         ir_int_seeded=jnp.zeros((R, K, Vm1), dtype=bool),
         ir_v2f_ext_pos=zeros(R, K, Vm1, 2),
         ir_f2v_ext=zeros(R, K, Vm1, DOFS),

@@ -42,6 +42,7 @@ _FIELD_DEFAULTS = {
         data["ir_int_seeded"].shape[:2], dtype=bool
     ),
     "nbr_overflow": lambda R, data: np.asarray(0, dtype=np.int32),
+    "grid_overflow": lambda R, data: np.asarray(0, dtype=np.int32),
     # pre-mission-manager checkpoints had no in-flight planning: no robot
     # can be awaiting a plan
     "plan_pending": lambda R, data: np.zeros(R, dtype=bool),

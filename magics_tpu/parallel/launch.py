@@ -60,8 +60,18 @@ def initialize(platform: str | None = None) -> None:
         # TPU pod: topology from the TPU environment
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single-host slice — not a pod
+        except Exception as e:
+            # A genuine rendezvous/misconfig failure must not silently
+            # degrade to a single-host run producing wrong-scale results:
+            # log what happened and the resulting world size so the
+            # fallback is visible in the launcher output.
+            print(
+                "[magics_tpu.launch] jax.distributed.initialize() failed "
+                f"({type(e).__name__}: {e}); continuing single-process "
+                f"(process_count=1). Set MAGICS_COORDINATOR/"
+                "MAGICS_NUM_PROCESSES/MAGICS_PROCESS_ID to force multi-host.",
+                file=sys.stderr,
+            )
 
 
 def main(argv=None) -> int:

@@ -49,6 +49,7 @@ _REPLICATED = {
     "tick", "rng", "log_head",
     "rr_collisions", "re_collisions",
     "rr_event_count", "re_event_count", "rr_partner_overflow", "nbr_overflow",
+    "grid_overflow",
     "rr_events", "re_events", "ga_aabb",
 }
 

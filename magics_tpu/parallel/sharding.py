@@ -37,20 +37,20 @@ def shard_state(state: SimState, mesh: Mesh) -> SimState:
     """Place every robot-major array with its leading axis on mesh axis "r";
     ring buffers / goal-area history ([L, R, ...]) shard their axis-1 robot
     dimension; scalars and the PRNG key replicate. Same layout as
-    shard_tick.state_partition_specs, so the two paths place identically."""
-    n_robots = state.active.shape[0]
-    shard_r = NamedSharding(mesh, P("r"))
-    shard_r1 = NamedSharding(mesh, P(None, "r"))
-    replicated = NamedSharding(mesh, P())
+    shard_tick.state_partition_specs, so the two paths place identically.
 
-    def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_robots:
-            return jax.device_put(x, shard_r)
-        if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[1] == n_robots:
-            return jax.device_put(x, shard_r1)
-        return jax.device_put(x, replicated)
+    Placement is driven by field NAME (the shard_tick specs), not by shape
+    matching — a shape heuristic misclassifies arrays whose non-robot dim
+    coincidentally equals R (e.g. ga_aabb [G, 4] at R=4)."""
+    from magics_tpu.parallel import shard_tick
 
-    return jax.tree_util.tree_map(place, state)
+    specs = shard_tick.state_partition_specs()
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        state,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
 
 
 def replicate(x, mesh: Mesh):

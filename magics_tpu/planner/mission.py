@@ -67,6 +67,7 @@ class MissionManager:
         seed: int = 0,
         max_workers: int = 4,
         max_retries: int = 3,
+        deterministic: bool = True,
     ):
         self.params = params
         self._planner_factory = planner_factory
@@ -76,6 +77,12 @@ class MissionManager:
         self.rng = np.random.default_rng(seed)
         self.max_retries = max_retries
         self.max_workers = max_workers
+        # deterministic=True blocks on an in-flight plan at the first poll
+        # after it was requested, so a given seed always applies plans at the
+        # same tick (planning still overlaps the device chunk in between).
+        # False reproduces the reference's wall-clock-dependent polling
+        # (robot.rs:643-648), which is NOT reproducible across runs.
+        self.deterministic = deterministic
         self._apply = jax.jit(apply_plans, static_argnums=6)
 
     def add_robot(self, robot: int, taskpoints: np.ndarray) -> None:
@@ -129,7 +136,9 @@ class MissionManager:
                 spawn = int(spawn_ticks[m.robot])
                 if spawn >= 0 and spawn <= tick:
                     self._plan_async(m)
-            if m.state == "waiting" and m.future is not None and m.future.done():
+            if m.state == "waiting" and m.future is not None and (
+                self.deterministic or m.future.done()
+            ):
                 path = m.future.result()
                 m.future = None
                 if path is None:
@@ -162,8 +171,12 @@ class MissionManager:
             mask[m.robot] = True
             new_path[m.robot, :n] = path
             new_plen[m.robot] = n
-            # waypoint state vectors: velocity points at the next point at
-            # target speed (spawner.rs:470-500 convention)
+            # waypoint state vectors: velocity points FORWARD at the next
+            # point at target speed (spawner.rs:470-500 convention).
+            # Deliberate divergence: the reference's mission-arrival path
+            # computes dir = from - to (robot.rs:656), i.e. a backwards
+            # velocity, which we treat as an upstream quirk — the spawner
+            # convention is used for plan arrivals too (see docs parity notes).
             d = np.diff(path, axis=0)
             nrm = np.linalg.norm(d, axis=1, keepdims=True)
             vel = np.where(nrm > 0, d / np.maximum(nrm, 1e-30) * p.target_speed, 0.0)

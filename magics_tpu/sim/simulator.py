@@ -397,6 +397,7 @@ class Simulator:
             "rr_collisions": int(np.asarray(state.rr_collisions)),
             "re_collisions": int(np.asarray(state.re_collisions)),
             "nbr_overflow": int(np.asarray(state.nbr_overflow)),
+            "grid_overflow": int(np.asarray(state.grid_overflow)),
         }
 
     def _harvest_log(self, state) -> None:

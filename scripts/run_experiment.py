@@ -43,7 +43,14 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        # "tpu" must not force the literal platform name — the TPU backend
+        # may register under a plugin name (axon); clearing the pin lets jax
+        # pick the accelerator (same handling as cli.py).
+        if args.platform == "tpu":
+            if jax.config.jax_platforms == "cpu":
+                jax.config.update("jax_platforms", None)
+        else:
+            jax.config.update("jax_platforms", args.platform)
 
     from magics_tpu.analysis import analyse
     from magics_tpu.config.loader import load_scenario

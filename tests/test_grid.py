@@ -212,3 +212,31 @@ def test_obstacle_tap_methods_bit_identical():
     b = F.obstacle_taps(mu, sdf, world, method="onehot")
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_grid_overflow_counter_in_state():
+    """Undersized `grid_capacity` must be visible in-state: the circle-center
+    crush packs ~all robots into one cell, so capacity 2 drops robots from
+    the bucket and `state.grid_overflow` must go nonzero (round-4 verdict:
+    drops were 'counted nowhere' during runs). With ample capacity the
+    counter stays zero."""
+    import jax
+
+    R = 16
+    specs = circle_formation(R, circle_radius=6.0, target_speed=8.0)
+    kw = dict(
+        target_speed=8.0, planning_horizon=2.0, hz=10.0, comms_radius=30.0,
+        internal=2, external=1, n_slots=8, dtype=jnp.float64,
+    )
+    p_small, s_small, sdf = build_scenario(
+        specs, grid_cell_size=15.0, grid_capacity=2, collision_partners=15, **kw
+    )
+    p_big, s_big, _ = build_scenario(
+        specs, grid_cell_size=15.0, grid_capacity=32, collision_partners=15, **kw
+    )
+    step = jax.jit(T.step, static_argnums=2)
+    for _ in range(3):
+        s_small = step(s_small, sdf, p_small)
+        s_big = step(s_big, sdf, p_big)
+    assert int(np.asarray(s_small.grid_overflow)) > 0
+    assert int(np.asarray(s_big.grid_overflow)) == 0

@@ -61,3 +61,39 @@ def test_circle_crossing_qualitative_parity():
     assert min_deg == 7
     assert int(np.asarray(state.completed).sum()) == 8
     assert sum(oracle.completed) == 8
+
+
+@pytest.mark.slow
+def test_cluttered_obstacle_regime_qualitative_parity():
+    """The Communications-Failure-Experiment regime: antipodal crossing
+    through the real `circle_cluttered` SDF at sigma-factor-obstacle 0.005,
+    tracking disabled (round-4 verdict: this obstacle-factor-dominant regime
+    had no oracle comparison, so the half-scale-polygon SDF defect could not
+    be localised). Chaotic — assert identical qualitative outcome."""
+    from scripts.parity_rmse import cluttered_case
+
+    starts, wpls, radii, speed, sdf_np, world = cluttered_case()
+    R = len(starts)
+    params, state, sdf, oracle = build_pair(
+        starts=starts, waypoint_lists=wpls, radii=radii, speed=speed,
+        horizon_s=3.0, comms_radius=250.0, internal=10, external=10,
+        n_slots=R - 1, despawn=False, factors=NO_TRK,
+        sdf_np=sdf_np, world=world,
+    )
+    step = jax.jit(T.step, static_argnums=2)
+    for t in range(160):
+        state = step(state, sdf, params)
+        oracle.step()
+    # Chaotic from tick 0: the 45 m horizon lookahead puts future-state
+    # variables into the clutter and the inter-robot crush immediately, so
+    # pixel-staircase epsilons amplify to O(10 m) trajectory divergence (the
+    # same holds between the Rust reference and itself under operation
+    # reordering). The contract is qualitative: identical completion outcome
+    # and no jam (the round-4 defect jammed BOTH counts near zero).
+    # same phenomenon as the reference's own comms-failure outliers (its
+    # notebook filters makespan > 1000 s): a straggler can finish a few
+    # dozen ticks apart between the two, so allow +-1 at the fixed budget.
+    dense_done = int(np.asarray(state.completed).sum())
+    oracle_done = sum(oracle.completed)
+    assert abs(dense_done - oracle_done) <= 1, (dense_done, oracle_done)
+    assert min(dense_done, oracle_done) >= R - 2, (dense_done, oracle_done)

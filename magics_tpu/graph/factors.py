@@ -394,6 +394,114 @@ def interrobot_rank1_messages(
     return jnp.stack([g2[..., 0] * ok, g2[..., 1] * ok, t * ok, s * ok], axis=-1)
 
 
+def compact_snap_tables(
+    snap_mu: jax.Array,   # [R, V, 4]
+    snap_eta: jax.Array,  # [R, V, 4]
+    snap_lam: jax.Array,  # [R, V, 4, 4]
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Per-robot compact cavity tables for the receiver-computes exchange:
+    [R, V-1, 8] = (snap_pos 2, mc 2, S 3, valid 1) for variables 1..V-1.
+
+    `S` is the position 2x2 block of the belief covariance C^-1 (stored as
+    xx, xy, yy) and `mc = (C^-1 eta)[:2]`; with them the inter-robot rank-1
+    marginal collapses to scalars via Sherman-Morrison (see
+    interrobot_rank1_messages_compact). O(R V) work per pass instead of a
+    4x4 inverse per (robot, slot, variable) pair.
+    """
+    from magics_tpu.core.linalg import inv4_rowscaled, mv
+
+    C = snap_lam[:, 1:]
+    C_inv, det = inv4_rowscaled(C)
+    finite = jnp.all(jnp.isfinite(C_inv), axis=(-2, -1))
+    valid = (jnp.abs(det) > 1e-6) & finite
+    mc = mv(C_inv, snap_eta[:, 1:])[..., :2]
+    S = jnp.stack(
+        [C_inv[..., 0, 0], C_inv[..., 0, 1], C_inv[..., 1, 1]], axis=-1
+    )
+    zero2 = jnp.zeros_like(mc)
+    return jnp.concatenate(
+        [
+            snap_mu[:, 1:, :2].astype(dtype),
+            jnp.where(valid[..., None], mc, zero2).astype(dtype),
+            jnp.where(valid[..., None], S, 0.0).astype(dtype),
+            valid[..., None].astype(dtype),
+        ],
+        axis=-1,
+    )
+
+
+def interrobot_rank1_messages_compact(
+    tables: jax.Array,       # [..., 8] gathered compact tables (see above)
+    seeded: jax.Array,       # [...] bool — peer cavity present
+    p_ext: jax.Array,        # [..., 2] external variable position
+    safety_distance: jax.Array,  # [...]
+    tiny_offset: jax.Array,      # [...]
+    sigma: float,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Receiver-computes fast path: same rank-1 marginal as
+    `interrobot_rank1_messages` via Sherman-Morrison on the PRECOMPUTED
+    belief covariance position block:
+
+        u   = g^T S g            (S = position block of C^-1)
+        den = 1 + alpha u
+        s   = alpha / den
+        t   = alpha (g . mc - (J x0 - h)) / den
+
+    (exact algebraic rearrangement of M^-1 = (alpha g g^T + C)^-1 — see the
+    derivation in the docstring of the exact form). Differences from the
+    exact path: validity is judged on C (the cavity) instead of M, and the
+    mean `mc = C^-1 eta` is recomputed rather than taken from the guarded
+    belief update — both only diverge in near-singular states where the
+    exact path emits empty messages anyway. f64 agreement with the exact
+    path is asserted to ~1e-9 on healthy states (tests/test_receiver_ext.py).
+
+    An UNSEEDED peer cavity (C = 0) is a special case the exact path
+    resolves to an empty message (M = alpha g g^T is singular): here the
+    seeded flag gates it directly.
+    """
+    snap_pos = tables[..., 0:2]
+    mc = tables[..., 2:4]
+    Sxx, Sxy, Syy = tables[..., 4], tables[..., 5], tables[..., 6]
+    cav_valid = (tables[..., 7] > 0.5) & seeded
+
+    d_raw = snap_pos - p_ext
+    dist2_raw = jnp.sum(d_raw * d_raw, axis=-1)
+    skipped = dist2_raw >= safety_distance * safety_distance
+
+    diff = d_raw + tiny_offset[..., None]
+    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    within = r <= safety_distance
+
+    h0 = jnp.where(within, 1.0 - r / safety_distance, 0.0).astype(dtype)
+    safe_r = jnp.where(r > 0, r, 1.0)
+    g2 = jnp.where(
+        within[..., None],
+        -diff / (safety_distance[..., None] * safe_r[..., None]),
+        0.0,
+    ).astype(dtype)
+
+    alpha = jnp.asarray(1.0 / (sigma * sigma), dtype)
+    jx0 = jnp.sum(g2 * d_raw.astype(dtype), axis=-1)
+    resid = jx0 - h0
+
+    gx, gy = g2[..., 0], g2[..., 1]
+    u = gx * gx * Sxx + 2.0 * gx * gy * Sxy + gy * gy * Syy
+    den = 1.0 + alpha * u
+    s = alpha / den
+    t = alpha * (jnp.sum(g2 * mc, axis=-1) - resid) / den
+
+    gmax2 = jnp.max(jnp.abs(g2), axis=-1) ** 2
+    finite = jnp.isfinite(s) & jnp.isfinite(t)
+    rtol = 1e-4 if dtype == jnp.float32 else 1e-12
+    negligible = jnp.abs(s) * gmax2 <= rtol * alpha * gmax2
+    valid = cav_valid & finite & ~negligible & ~skipped
+
+    ok = valid.astype(dtype)
+    return jnp.stack([gx * ok, gy * ok, t * ok, s * ok], axis=-1)
+
+
 def rank1_eta_lam(msg: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Expand compact rank-1 messages [..., (gx, gy, t, s)] to information
     form (eta [..., 4], lam [..., 4, 4]) — only the position block is ever

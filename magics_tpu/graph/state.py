@@ -124,6 +124,27 @@ class GbpParams:
 
     dtype: jnp.dtype = jnp.float32
 
+    # Inter-robot message exchange strategy (graph/tick.py external passes):
+    #   "sender"           — the factor owner computes its outbox
+    #                        [R, K, V-1, 4]; receivers gather it by
+    #                        (peer, reciprocal-slot) — the reference's
+    #                        routing shape (robot.rs:1803-1831).
+    #   "receiver"         — receivers recompute the incoming message
+    #                        locally from the peer's gathered snapshot
+    #                        tables (identical arithmetic — bit-equal) and
+    #                        a locally-maintained mirror of what the peer
+    #                        holds of their own positions. Removes the
+    #                        per-slot outbox gather (ARCHITECTURE §8
+    #                        lever (a)).
+    #   "receiver_compact" — like "receiver" but gathering the per-variable
+    #                        compact cavity tables [R, V-1, 8] and using the
+    #                        Sherman-Morrison scalar form
+    #                        (factors.interrobot_rank1_messages_compact):
+    #                        ~6x fewer gathered bytes and no 4x4 inverse
+    #                        per pair. Numerically equivalent, not
+    #                        bit-identical.
+    ext_exchange: str = "sender"
+
     # Use the fused Pallas slot kernel (kernels/gbp_slot.py) for internal GBP
     # slots; `pallas_interpret` runs it in interpreter mode (CPU testing).
     use_pallas: bool = False
@@ -243,6 +264,16 @@ class SimState:
     # (~20x per tick in the Circle-Experiment schedule):
     nbr_back: jax.Array      # [R, K] i32
     nbr_has_back: jax.Array  # [R, K] bool — reciprocal slot exists and alive
+    # RECEIVER-COMPUTES MODE (params.ext_exchange != "sender") reinterprets
+    # two tables — same shapes, mirrored perspective (graph/tick.py):
+    #   ir_v2f_ext_pos[r, k, i] = position of R'S OWN variable i+1 as held
+    #     by the peer's factor (the mirror of the peer's row) — maintained
+    #     by local writes + cheap [R]-bool gate gathers, never gathered.
+    #   ir_int_seeded[r, k, i]  = whether the PEER's cavity for the
+    #     reciprocal slot is seeded (mirror of the peer's row).
+    #   ir_f2v_ext is unused (receivers compute their inbox directly).
+    # Checkpoints record the mode's semantics — resuming a "sender"
+    # checkpoint under a receiver mode (or vice versa) is undefined.
     # New in-range pairs that found no free neighbour slot (cumulative; the
     # reference connects every in-range pair uncapped, robot.rs:1441-1586 —
     # nonzero means the K truncation was active and inter-robot connectivity

@@ -256,7 +256,8 @@ def update_connectivity(state: SimState, params: GbpParams, comm=LOCAL) -> SimSt
     n_new = jnp.sum(new_pair, axis=1)
     n_free = jnp.sum(~keep, axis=1)
     dropped = comm.psum(jnp.sum(jnp.maximum(n_new - n_free, 0)))
-    return _finish_connectivity(state, keep, nbr_idx_new, comm, dropped)
+    return _finish_connectivity(state, keep, nbr_idx_new, comm, dropped,
+                                params=params)
 
 
 def grid_candidates(state: SimState, params: GbpParams, comm=LOCAL):
@@ -377,12 +378,13 @@ def update_connectivity_grid(
     n_new = jnp.sum(new_pair, axis=1)
     n_free = jnp.sum(~keep, axis=1)
     dropped = comm.psum(jnp.sum(jnp.maximum(n_new - n_free, 0)))
-    return _finish_connectivity(state, keep, nbr_idx_new, comm, dropped)
+    return _finish_connectivity(state, keep, nbr_idx_new, comm, dropped,
+                                params=params)
 
 
 def _finish_connectivity(
     state: SimState, keep: jax.Array, nbr_idx_new: jax.Array, comm=LOCAL,
-    dropped: jax.Array | None = None,
+    dropped: jax.Array | None = None, params: GbpParams | None = None,
 ) -> SimState:
     """Shared connectivity tail: reciprocity enforcement, message-state reset
     for churned slots, and the new-factor belief seeding (robot.rs:1547-1585).
@@ -413,10 +415,17 @@ def _finish_connectivity(
     # current belief mean (prepare_message of the nth variable,
     # robot.rs:1556-1566 — only the position enters the factor maths, see
     # state.py). Variables 1..V-1 of the neighbour map to chain slots 0..V-2.
-    nbr_belief_pos = _gather_robot(
-        comm.all_robots(state.belief_mean[..., :2]), nbr_idx_new, is_new
-    )[:, :, 1:, :]
-    ir_v2f_ext_pos = jnp.where(_exp(is_new, 2), nbr_belief_pos, ir_v2f_ext_pos)
+    if params is not None and params.ext_exchange != "sender":
+        # receiver-computes mirror: the PEER's new factor was seeded with
+        # MY current belief position (churn is symmetric — both sides of a
+        # pair reset the same tick), so the mirror write is local: no gather.
+        own_pos = state.belief_mean[:, None, 1:, :2]
+        ir_v2f_ext_pos = jnp.where(_exp(is_new, 2), own_pos, ir_v2f_ext_pos)
+    else:
+        nbr_belief_pos = _gather_robot(
+            comm.all_robots(state.belief_mean[..., :2]), nbr_idx_new, is_new
+        )[:, :, 1:, :]
+        ir_v2f_ext_pos = jnp.where(_exp(is_new, 2), nbr_belief_pos, ir_v2f_ext_pos)
 
     # Cache the reciprocal-slot table for the rest of the tick. `back` was
     # computed on the PRE-reciprocity tables; on the final tables a slot's
@@ -524,24 +533,46 @@ def update_prior_horizon(state: SimState, params: GbpParams, comm=LOCAL) -> SimS
     snap_mu = state.snap_mu.at[:, V - 1].set(
         jnp.where(g1, new_mean, state.snap_mu[:, V - 1])
     )
-    seeded = state.ir_int_seeded.at[:, :, V - 2].set(
-        jnp.where(gate[:, None], state.nbr_mask, state.ir_int_seeded[:, :, V - 2])
-    )
-
-    # deliver responses to external factors (ungated receive,
-    # robot.rs:2272-2282): the factor owned by (j, k) at chain slot V-2 has
-    # r = nbr_idx[j, k]'s horizon variable as its external variable. Only the
-    # response's mean position enters the factor maths (state.py).
-    gate_all = comm.all_robots(gate)                    # [R_total]
-    new_mean_all = comm.all_robots(new_mean)            # [R_total, 4]
-    src = jnp.clip(state.nbr_idx, 0, gate_all.shape[0] - 1)  # j's neighbour r
-    sent = gate_all[src] & state.nbr_mask    # r actually changed its prior
-    ir_v2f_ext_pos = state.ir_v2f_ext_pos.at[:, :, V - 2].set(
-        jnp.where(
-            _exp(sent, 1), new_mean_all[src][..., :2],
-            state.ir_v2f_ext_pos[:, :, V - 2],
+    if params.ext_exchange != "sender":
+        # receiver-computes mirrors (state.py): the PEER's factor received MY
+        # new horizon mean (ungated receive, robot.rs:2272-2282) — local
+        # write gated on my change and the peer slot being alive; and the
+        # PEER's seeded flag for its slot V-2 went true where ITS gate held.
+        gate_all = comm.all_robots(gate)
+        src = jnp.clip(state.nbr_idx, 0, gate_all.shape[0] - 1)
+        seeded = state.ir_int_seeded.at[:, :, V - 2].set(
+            jnp.where(
+                gate_all[src] & state.nbr_has_back,
+                True,
+                state.ir_int_seeded[:, :, V - 2],
+            )
         )
-    )
+        ir_v2f_ext_pos = state.ir_v2f_ext_pos.at[:, :, V - 2].set(
+            jnp.where(
+                (gate[:, None] & state.nbr_has_back)[..., None],
+                new_mean[:, None, :2],
+                state.ir_v2f_ext_pos[:, :, V - 2],
+            )
+        )
+    else:
+        seeded = state.ir_int_seeded.at[:, :, V - 2].set(
+            jnp.where(gate[:, None], state.nbr_mask, state.ir_int_seeded[:, :, V - 2])
+        )
+
+        # deliver responses to external factors (ungated receive,
+        # robot.rs:2272-2282): the factor owned by (j, k) at chain slot V-2
+        # has r = nbr_idx[j, k]'s horizon variable as its external variable.
+        # Only the response's mean position enters the factor maths (state.py).
+        gate_all = comm.all_robots(gate)                    # [R_total]
+        new_mean_all = comm.all_robots(new_mean)            # [R_total, 4]
+        src = jnp.clip(state.nbr_idx, 0, gate_all.shape[0] - 1)  # j's nbr r
+        sent = gate_all[src] & state.nbr_mask    # r actually changed its prior
+        ir_v2f_ext_pos = state.ir_v2f_ext_pos.at[:, :, V - 2].set(
+            jnp.where(
+                _exp(sent, 1), new_mean_all[src][..., :2],
+                state.ir_v2f_ext_pos[:, :, V - 2],
+            )
+        )
 
     # empty the horizon variable's inbox
     dyn_f2v_eta = state.dyn_f2v_eta.at[:, V - 2, 1].set(
@@ -723,7 +754,7 @@ def internal_factor_pass(state: SimState, sdf: jax.Array, params: GbpParams) -> 
     return replace(state, **updates)
 
 
-def internal_variable_pass(state: SimState, params: GbpParams) -> SimState:
+def internal_variable_pass(state: SimState, params: GbpParams, comm=LOCAL) -> SimState:
     """Belief update + responses to internal factors (factorgraph.rs:762-790)."""
     R, V = state.prior_mean.shape[:2]
     gate = state.active & _not_idle(state)
@@ -782,18 +813,131 @@ def internal_variable_pass(state: SimState, params: GbpParams) -> SimState:
     updates["snap_lam"] = jnp.where(g3, belief_lam, state.snap_lam)
     updates["snap_mu"] = jnp.where(g2, belief_mean, state.snap_mu)
     if params.interrobot_enabled:
-        updates["ir_int_seeded"] = jnp.where(
-            g1[..., None] & state.nbr_mask[..., None], True, state.ir_int_seeded
-        )
+        if params.ext_exchange != "sender":
+            # receiver-computes mirror of the PEER's seeded flag: the peer's
+            # cavity for its reciprocal slot went live where ITS internal
+            # gate held and its slot is alive (state.py mirror semantics)
+            gate_all = comm.all_robots(gate)
+            src = jnp.clip(state.nbr_idx, 0, gate_all.shape[0] - 1)
+            updates["ir_int_seeded"] = jnp.where(
+                (gate_all[src] & state.nbr_has_back)[..., None],
+                True,
+                state.ir_int_seeded,
+            )
+        else:
+            updates["ir_int_seeded"] = jnp.where(
+                g1[..., None] & state.nbr_mask[..., None], True, state.ir_int_seeded
+            )
 
     return replace(state, **updates)
 
 
+def _gather_rows_pinned(arr: jax.Array, idx: jax.Array) -> jax.Array:
+    """out[r, k, :] = arr[idx[r, k], :] for a 2-D table, with row-major
+    layout pins on both sides (see _gather_from_peer's rationale)."""
+    from magics_tpu.kernels.layout import layout_pin
+
+    flat = layout_pin(arr)
+    out = layout_pin(flat[idx.reshape(-1)])
+    return out.reshape(idx.shape + arr.shape[1:])
+
+
+def _external_factor_pass_receiver(
+    state: SimState, params: GbpParams, comm=LOCAL
+) -> SimState:
+    """Receiver-computes inter-robot exchange (ARCHITECTURE §8 lever (a)).
+
+    Instead of gathering the peers' outboxes by (peer, reciprocal-slot) —
+    the [R, K, V-1, 4] per-slot gather that dominates swarm-scale ticks —
+    each receiver recomputes the incoming message locally from
+
+      * the peer's snapshot tables, gathered as plain [R, K]-rows-from-
+        [R, D] (the cheap pattern), or their compact [R, V-1, 8] cavity
+        form ("receiver_compact", factors.interrobot_rank1_messages_compact),
+      * the mirror of its OWN positions as held by the peer
+        (ir_v2f_ext_pos under receiver semantics — purely local), and
+      * slot-deterministic tiny offsets + the peer's radius/gate bits.
+
+    "receiver" uses the identical arithmetic as the sender path (bit-equal
+    inboxes, asserted in tests/test_receiver_ext.py); "receiver_compact" is
+    the Sherman-Morrison rearrangement (equivalent to roundoff).
+    """
+    R, K = state.nbr_idx.shape
+    V = state.prior_mean.shape[1]
+    V1 = V - 1
+    f = state.prior_mean.dtype
+
+    send_gate = state.active & state.antenna & _not_idle(state)  # [R]
+    gate_all = comm.all_robots(send_gate)
+    src = jnp.clip(state.nbr_idx, 0, gate_all.shape[0] - 1)
+    # the peer's factor produced this pass AND I receive it — symmetric in
+    # (r, j) exactly like the sender path's produced & deliver chain
+    deliver = (
+        _exp(send_gate, 1) & state.nbr_mask & gate_all[src] & state.nbr_has_back
+    )  # [R, K]
+
+    gids_j = src.astype(f)
+    back = state.nbr_back.astype(f)
+    iota_v = jnp.arange(V1, dtype=f)
+    tiny = jnp.asarray(1e-6, f) * (
+        gids_j[..., None] * (K * V1) + back[..., None] * V1 + iota_v + 1.0
+    )  # [R, K, V1]
+
+    rad_all = comm.all_robots(state.radius)
+    safety = jnp.broadcast_to(
+        (params.safety_distance_multiplier * rad_all[src])[..., None], (R, K, V1)
+    )
+
+    seeded = state.ir_int_seeded      # mirror: peer's cavity present
+    p_ext = state.ir_v2f_ext_pos      # mirror: my position as held by peer
+
+    if params.ext_exchange == "receiver_compact":
+        tables = F.compact_snap_tables(
+            state.snap_mu, state.snap_eta, state.snap_lam, dtype=f
+        )  # [R, V1, 8]
+        tables_all = comm.all_robots(tables).reshape(-1, V1 * 8)
+        peer_tab = _gather_rows_pinned(tables_all, src).reshape(R, K, V1, 8)
+        msg = F.interrobot_rank1_messages_compact(
+            peer_tab, seeded, p_ext, safety, tiny,
+            params.sigma_factor_interrobot, dtype=f,
+        )
+    else:
+        pack = jnp.concatenate(
+            [
+                state.snap_mu[:, 1:],
+                state.snap_eta[:, 1:],
+                state.snap_lam[:, 1:].reshape(R, V1, 16),
+            ],
+            axis=-1,
+        )  # [R, V1, 24]
+        pack_all = comm.all_robots(pack).reshape(-1, V1 * 24)
+        peer = _gather_rows_pinned(pack_all, src).reshape(R, K, V1, 24)
+        s3 = seeded[..., None]
+        x_int = jnp.where(s3, peer[..., 0:4], 0.0)
+        cav_eta = jnp.where(s3, peer[..., 4:8], 0.0)
+        cav_lam = jnp.where(
+            s3[..., None], peer[..., 8:24].reshape(R, K, V1, 4, 4), 0.0
+        )
+        msg = F.interrobot_rank1_messages(
+            x_int, p_ext, cav_eta, cav_lam, safety, tiny,
+            params.sigma_factor_interrobot, dtype=f,
+        )
+
+    ext_inbox = jnp.where(deliver[..., None, None], msg, state.ext_inbox)
+    iter_count = state.iter_count_factor + send_gate.astype(jnp.int32)
+    return replace(state, ext_inbox=ext_inbox, iter_count_factor=iter_count)
+
+
 def external_factor_pass(state: SimState, params: GbpParams, comm=LOCAL) -> SimState:
     """Inter-robot factor update + message delivery (factorgraph.rs:719-760,
-    routing robot.rs:1803-1831). Messages are compact rank-1 (state.py)."""
+    routing robot.rs:1803-1831). Messages are compact rank-1 (state.py).
+
+    With params.ext_exchange in ("receiver", "receiver_compact") the
+    exchange is receiver-computes instead (no outbox, no per-slot gather)."""
     if not params.interrobot_enabled:
         return state
+    if params.ext_exchange != "sender":
+        return _external_factor_pass_receiver(state, params, comm)
 
     R, K = state.nbr_idx.shape
     V = state.prior_mean.shape[1]
@@ -928,10 +1072,22 @@ def external_variable_pass(state: SimState, params: GbpParams, comm=LOCAL) -> Si
         & has_back
     )[..., None]
 
-    in_pos = _gather_robot(
-        comm.all_robots(belief_mean[:, 1:, :2]), state.nbr_idx, state.nbr_mask
-    )
-    ir_v2f_ext_pos = jnp.where(deliver[..., None], in_pos, state.ir_v2f_ext_pos)
+    if params.ext_exchange != "sender":
+        # receiver-computes mirror: the PEER's factor inbox entry for MY
+        # variables updated with MY new belief — the delivery condition is
+        # symmetric in (r, j) (gate[r] & gate[j] & both slots alive), so the
+        # same `deliver` mask gates the local mirror write. No gather.
+        ir_v2f_ext_pos = jnp.where(
+            deliver[..., None], belief_mean[:, None, 1:, :2],
+            state.ir_v2f_ext_pos,
+        )
+    else:
+        in_pos = _gather_robot(
+            comm.all_robots(belief_mean[:, 1:, :2]), state.nbr_idx, state.nbr_mask
+        )
+        ir_v2f_ext_pos = jnp.where(
+            deliver[..., None], in_pos, state.ir_v2f_ext_pos
+        )
 
     return replace(
         state,
@@ -965,7 +1121,7 @@ def iterate_gbp(state: SimState, sdf: jax.Array, params: GbpParams, comm=LOCAL) 
     def slot(state, internal_flag, external_flag):
         if internal_flag:
             state = internal_factor_pass(state, sdf, params)
-            state = internal_variable_pass(state, params)
+            state = internal_variable_pass(state, params, comm)
         if external_flag:
             state = external_factor_pass(state, params, comm)
             state = external_variable_pass(state, params, comm)

@@ -243,14 +243,28 @@ def iterate_gbp_hot(
             # internal variable pass also seeds own inter-robot factor inboxes
             # (state.py module doc; internal_variable_pass in graph/tick.py)
             if params.interrobot_enabled:
-                st = replace(
-                    st,
-                    ir_int_seeded=jnp.where(
-                        gate_r[:, None, None] & st.nbr_mask[:, :, None],
-                        True,
-                        st.ir_int_seeded,
-                    ),
-                )
+                if params.ext_exchange != "sender":
+                    # receiver-computes: mirror the PEER's seeded flag
+                    # (graph/tick.py internal_variable_pass)
+                    gate_all = comm.all_robots(gate_r)
+                    src = jnp.clip(st.nbr_idx, 0, gate_all.shape[0] - 1)
+                    st = replace(
+                        st,
+                        ir_int_seeded=jnp.where(
+                            (gate_all[src] & st.nbr_has_back)[..., None],
+                            True,
+                            st.ir_int_seeded,
+                        ),
+                    )
+                else:
+                    st = replace(
+                        st,
+                        ir_int_seeded=jnp.where(
+                            gate_r[:, None, None] & st.nbr_mask[:, :, None],
+                            True,
+                            st.ir_int_seeded,
+                        ),
+                    )
         if e_flag and params.interrobot_enabled:
             # ---- external factor pass: XLA on the compact rank-1 state ----
             st = _snap_to_state(st, hot)
@@ -291,9 +305,10 @@ def iterate_gbp_hot(
             # uses the responder's belief mean position (graph/tick.py) ----
             from magics_tpu.kernels.layout import layout_pin
 
-            bm_pos = comm.all_robots(
-                jnp.transpose(hot["belief_mean"][:2, 1:, :R], (2, 1, 0))
-            )  # [R_total, V-1, 2]
+            if params.ext_exchange == "sender":
+                bm_pos = comm.all_robots(
+                    jnp.transpose(hot["belief_mean"][:2, 1:, :R], (2, 1, 0))
+                )  # [R_total, V-1, 2]
             has_back = st.nbr_has_back
             gate_all = comm.all_robots(ext_gate_r)
             src = jnp.clip(st.nbr_idx, 0, gate_all.shape[0] - 1)
@@ -303,22 +318,36 @@ def iterate_gbp_hot(
                 & gate_all[src]
                 & has_back
             )[..., None]
-            # row-major pin on both sides of the gather (kernels/layout.py):
-            # the hot planes otherwise push a robot-minor layout onto it and
-            # the per-slot row gather scalarises
-            Vm1 = bm_pos.shape[1]
-            flat_pos = layout_pin(bm_pos.reshape(bm_pos.shape[0], -1))
-            picked = layout_pin(flat_pos[src.reshape(-1)]).reshape(
-                src.shape + (Vm1, 2)
-            )
-            in_pos = jnp.where(
-                (st.nbr_mask)[..., None, None], picked, 0
-            )
-            st = replace(
-                st,
-                ir_v2f_ext_pos=jnp.where(
-                    deliver[..., None], in_pos, st.ir_v2f_ext_pos
-                ),
-            )
+            if params.ext_exchange != "sender":
+                # receiver-computes mirror: write OWN belief positions under
+                # the (symmetric) deliver mask — no gather at all
+                # (graph/tick.py external_variable_pass)
+                own_pos = jnp.transpose(
+                    hot["belief_mean"][:2, 1:, :R], (2, 1, 0)
+                )  # [R, V-1, 2]
+                st = replace(
+                    st,
+                    ir_v2f_ext_pos=jnp.where(
+                        deliver[..., None], own_pos[:, None], st.ir_v2f_ext_pos
+                    ),
+                )
+            else:
+                # row-major pin on both sides of the gather (kernels/layout.py):
+                # the hot planes otherwise push a robot-minor layout onto it and
+                # the per-slot row gather scalarises
+                Vm1 = bm_pos.shape[1]
+                flat_pos = layout_pin(bm_pos.reshape(bm_pos.shape[0], -1))
+                picked = layout_pin(flat_pos[src.reshape(-1)]).reshape(
+                    src.shape + (Vm1, 2)
+                )
+                in_pos = jnp.where(
+                    (st.nbr_mask)[..., None, None], picked, 0
+                )
+                st = replace(
+                    st,
+                    ir_v2f_ext_pos=jnp.where(
+                        deliver[..., None], in_pos, st.ir_v2f_ext_pos
+                    ),
+                )
 
     return merge_state(st, hot, ic)

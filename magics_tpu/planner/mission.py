@@ -83,7 +83,7 @@ class MissionManager:
         # False reproduces the reference's wall-clock-dependent polling
         # (robot.rs:643-648), which is NOT reproducible across runs.
         self.deterministic = deterministic
-        self._apply = jax.jit(apply_plans, static_argnums=6)
+        self._apply = jax.jit(apply_plans, static_argnums=(6, 8))
 
     def add_robot(self, robot: int, taskpoints: np.ndarray) -> None:
         self.missions[robot] = _RobotMission(robot, np.asarray(taskpoints, float))
@@ -207,6 +207,7 @@ class MissionManager:
             jnp.asarray(new_plen),
             10,  # tracking timeout passes (factorgraph.rs:1584 set_timeout(10))
             jnp.asarray(means, f),
+            self.params.ext_exchange,
         )
 
     def shutdown(self) -> None:
@@ -224,6 +225,7 @@ def apply_plans(
     new_plen: jax.Array,   # [R] i32
     timeout: int,
     means: jax.Array,      # [R, V, 4] reset_variables means
+    ext_exchange: str = "sender",
 ) -> SimState:
     """Apply arrived plans to the masked robots: route + tracking path swap,
     variable reset (reset_variables semantics: endpoint priors pinned at
@@ -268,9 +270,6 @@ def apply_plans(
         trk_v2f_mu=zero_like(state.trk_v2f_mu),
         trk_f2v_eta=zero_like(state.trk_f2v_eta),
         trk_f2v_lam=zero_like(state.trk_f2v_lam),
-        ir_int_seeded=zero_like(state.ir_int_seeded),
-        ir_v2f_ext_pos=zero_like(state.ir_v2f_ext_pos),
-        ir_f2v_ext=zero_like(state.ir_f2v_ext),
         ext_inbox=zero_like(state.ext_inbox),
         # Idle -> Active
         plan_pending=zero_like(state.plan_pending),
@@ -284,4 +283,21 @@ def apply_plans(
         k: jnp.where(_exp(mask, v.ndim - 1), v, getattr(state, k))
         for k, v in upd.items()
     }
+    # inter-robot factor-inbox reset. Sender mode: the arrived robot's own
+    # rows hold its factors' state — zero them under `mask`. Receiver mode
+    # (graph/state.py mirror semantics): the arrived robot's factor inboxes
+    # and seeded flags are MIRRORED on the rows of every peer whose slot
+    # points at it — zero those instead; the robot's own rows (its position
+    # as held by peers) stay, matching the reference (peers keep the stale
+    # linearisation point until the next delivery).
+    if ext_exchange == "sender":
+        for k in ("ir_int_seeded", "ir_v2f_ext_pos", "ir_f2v_ext"):
+            v = getattr(state, k)
+            out[k] = jnp.where(_exp(mask, v.ndim - 1), 0, v)
+    else:
+        src = jnp.clip(state.nbr_idx, 0, R - 1)
+        peer_arrived = mask[src] & state.nbr_mask  # [R, K]
+        for k in ("ir_int_seeded", "ir_v2f_ext_pos"):
+            v = getattr(state, k)
+            out[k] = jnp.where(_exp(peer_arrived, v.ndim - 2), 0, v)
     return dataclasses.replace(state, **out)

@@ -36,6 +36,9 @@ def main(argv=None) -> int:
                    help="comma list sweeping robot.communication.failure-rate "
                         "(the reference's comms-failure harness sweeps "
                         "0.0..0.7, run-communication-failure-expertiment.fish)")
+    p.add_argument("--target-speeds", default=None,
+                   help="comma list sweeping robot.target-speed (the "
+                        "reference's comms-failure harness sweeps v0 10,15)")
     p.add_argument("--out", default="experiment-out")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None)
     args = p.parse_args(argv)
@@ -73,8 +76,15 @@ def main(argv=None) -> int:
         else [None]
     )
 
+    speeds = (
+        [float(x) for x in args.target_speeds.split(",")]
+        if args.target_speeds
+        else [None]
+    )
+
     summary: list[dict] = []
     for n in robot_counts:
+      for v0 in speeds:
         for fr in failure_rates:
             for seed in seeds:
                 sc = copy.deepcopy(base)
@@ -82,11 +92,15 @@ def main(argv=None) -> int:
                     sc.formations.formations[0].robots = n
                 if fr is not None:
                     sc.config.robot.communication.failure_rate = fr
+                if v0 is not None:
+                    sc.config.robot.target_speed = v0
                 t0 = time.perf_counter()
                 sim = Simulator(sc, seed=seed, max_sim_time=args.max_time,
                                 viz_log=False)
                 result = sim.run()
                 tag = f"{args.scenario.replace(' ', '-')}_r{n or 'cfg'}" + (
+                    f"_v{v0:g}" if v0 is not None else ""
+                ) + (
                     f"_f{fr}" if fr is not None else ""
                 ) + f"_s{seed}"
                 export = sim.export(out_dir / f"export_{tag}.json")
@@ -101,6 +115,8 @@ def main(argv=None) -> int:
                 }
                 if fr is not None:
                     row["failure_rate"] = fr
+                if v0 is not None:
+                    row["target_speed"] = v0
                 summary.append(row)
                 print(json.dumps(row))
 

@@ -7,7 +7,11 @@ lib.rs:417-426) at 10 Hz, using grid connectivity (graph/grid.py) so
 neighbour search stays O(R). Prints one line per R: ms/tick and the
 real-time multiple (10 Hz => 100 ms budget).
 
-    python bench/scale.py [R1,R2,...]
+    python bench/scale.py [R1,R2,...] [sender|receiver|receiver_compact]
+
+The second argument selects the inter-robot exchange strategy
+(GbpParams.ext_exchange); default receiver_compact — the receiver-computes
+fast path (no per-slot outbox gather, ARCHITECTURE §8 lever (a)).
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ def main():
     rs = [1024, 4096, 8192, 16384]
     if len(sys.argv) > 1:
         rs = [int(x) for x in sys.argv[1].split(",")]
+    ext = sys.argv[2] if len(sys.argv) > 2 else "receiver_compact"
 
     from magics_tpu.core.schedule import ScheduleKind
     from magics_tpu.graph import tick as T
@@ -58,6 +63,7 @@ def main():
             dtype=jnp.float32,
             despawn_on_final_waypoint=False,
             use_pallas=True,
+            ext_exchange=ext,
             grid_cell_size=50.0,
             grid_capacity=32,
             collision_partners=8,

@@ -16,7 +16,7 @@ import time
 from pathlib import Path
 
 
-def interactive_loop(sim, *, quiet: bool = False) -> dict:
+def interactive_loop(sim, *, quiet: bool = False, live=None) -> dict:
     """Pause/play + manual stepping REPL over a live simulation.
 
     Virtual time only advances on `step`/`run` — the paused prompt IS the
@@ -68,13 +68,15 @@ def interactive_loop(sim, *, quiet: bool = False) -> dict:
             elif cmd in ("s", "step"):
                 n = int(rest[0]) if rest else step_factor
                 tick = int(np.asarray(sim.state.tick))
-                sim.run(max_ticks=tick + n, chunk_ticks=n)
+                sim.run(max_ticks=tick + n, chunk_ticks=n,
+                        on_chunk=(lambda st, _t: live.push(st)) if live else None)
             elif cmd in ("r", "run"):
                 tick = int(np.asarray(sim.state.tick))
                 limit = (
                     tick + int(float(rest[0]) * sim.hz) if rest else max_ticks
                 )
-                sim.run(max_ticks=limit)
+                sim.run(max_ticks=limit,
+                        on_chunk=(lambda st, _t: live.push(st)) if live else None)
             elif cmd == "status":
                 import json as _json
 
@@ -225,6 +227,14 @@ def main(argv=None) -> int:
         help="capture a jax/XLA device profile of the run into DIR "
         "(view with xprof/tensorboard; the reference's flamegraph/dhat "
         "profiles analog, Cargo.toml:149-152)",
+    )
+    p.add_argument(
+        "--serve", type=int, nargs="?", const=8008, default=None,
+        metavar="PORT",
+        help="serve a live browser view of the running sim at "
+             "http://localhost:PORT (viz/live.py — the headless redesign of "
+             "the reference's live view, ui/mod.rs:36-83); composes with "
+             "--interactive",
     )
     p.add_argument(
         "--interactive", action="store_true",
@@ -421,14 +431,26 @@ def main(argv=None) -> int:
         import contextlib
 
         profile_cm = contextlib.nullcontext()
+    live = None
+    if args.serve is not None:
+        from magics_tpu.viz.live import LiveServer
+
+        live = LiveServer(sim, port=args.serve)
+        live.start()
+        live.push(sim.state)
+        if not args.quiet:
+            print(f"live view: http://localhost:{live.port}", file=sys.stderr)
     with profile_cm:
         if args.interactive:
-            summary = interactive_loop(sim, quiet=args.quiet)
+            summary = interactive_loop(sim, quiet=args.quiet, live=live)
         else:
             summary = sim.run(
                 progress=progress,
                 checkpoint_path=args.checkpoint,
                 checkpoint_every_s=args.checkpoint_every,
+                on_chunk=(lambda st, _t: live.push(st)) if live else None,
+                # finer chunks -> smoother live frames (0.5 s of sim each)
+                chunk_ticks=5 if live else 100,
             )
     if args.profile and not args.quiet:
         print(f"profile: {args.profile}", file=sys.stderr)

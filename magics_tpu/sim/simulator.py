@@ -335,6 +335,7 @@ class Simulator:
     def run(
         self, max_ticks: int | None = None, progress=None, chunk_ticks: int = 100,
         checkpoint_path=None, checkpoint_every_s: float | None = None,
+        on_chunk=None,
     ) -> dict:
         """Run until every robot finished (or max time).
 
@@ -371,6 +372,9 @@ class Simulator:
             n_done = self.diagnostics.completed[-1]
             if progress is not None:
                 progress(tick, n_done)
+            if on_chunk is not None:
+                # live-view hook (viz/live.py): receives the device state
+                on_chunk(state, tick)
             if (
                 checkpoint_path is not None
                 and ckpt_interval

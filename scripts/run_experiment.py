@@ -39,6 +39,14 @@ def main(argv=None) -> int:
     p.add_argument("--target-speeds", default=None,
                    help="comma list sweeping robot.target-speed (the "
                         "reference's comms-failure harness sweeps v0 10,15)")
+    p.add_argument("--schedules", default=None,
+                   help="comma list sweeping gbp.iteration-schedule.schedule "
+                        "(run-schedules-experiment.fish sweeps all five kinds)")
+    p.add_argument("--internals", default=None,
+                   help="comma list sweeping gbp.iteration-schedule.internal "
+                        "(run-iteration-amount-experiment.fish: fibonacci)")
+    p.add_argument("--externals", default=None,
+                   help="comma list sweeping gbp.iteration-schedule.external")
     p.add_argument("--out", default="experiment-out")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None)
     args = p.parse_args(argv)
@@ -81,11 +89,21 @@ def main(argv=None) -> int:
         if args.target_speeds
         else [None]
     )
+    schedules = args.schedules.split(",") if args.schedules else [None]
+    internals = (
+        [int(x) for x in args.internals.split(",")] if args.internals else [None]
+    )
+    externals = (
+        [int(x) for x in args.externals.split(",")] if args.externals else [None]
+    )
 
     summary: list[dict] = []
     for n in robot_counts:
-      for v0 in speeds:
-        for fr in failure_rates:
+     for v0 in speeds:
+      for sk in schedules:
+       for it in internals:
+        for ex in externals:
+         for fr in failure_rates:
             for seed in seeds:
                 sc = copy.deepcopy(base)
                 if n is not None:
@@ -94,12 +112,26 @@ def main(argv=None) -> int:
                     sc.config.robot.communication.failure_rate = fr
                 if v0 is not None:
                     sc.config.robot.target_speed = v0
+                if sk is not None:
+                    from magics_tpu.core.schedule import ScheduleKind
+
+                    sc.config.gbp.iteration_schedule.schedule = ScheduleKind(sk)
+                if it is not None:
+                    sc.config.gbp.iteration_schedule.internal = it
+                if ex is not None:
+                    sc.config.gbp.iteration_schedule.external = ex
                 t0 = time.perf_counter()
                 sim = Simulator(sc, seed=seed, max_sim_time=args.max_time,
                                 viz_log=False)
                 result = sim.run()
                 tag = f"{args.scenario.replace(' ', '-')}_r{n or 'cfg'}" + (
                     f"_v{v0:g}" if v0 is not None else ""
+                ) + (
+                    f"_k{sk}" if sk is not None else ""
+                ) + (
+                    f"_i{it}" if it is not None else ""
+                ) + (
+                    f"_e{ex}" if ex is not None else ""
                 ) + (
                     f"_f{fr}" if fr is not None else ""
                 ) + f"_s{seed}"
@@ -117,6 +149,12 @@ def main(argv=None) -> int:
                     row["failure_rate"] = fr
                 if v0 is not None:
                     row["target_speed"] = v0
+                if sk is not None:
+                    row["schedule"] = sk
+                if it is not None:
+                    row["internal"] = it
+                if ex is not None:
+                    row["external"] = ex
                 summary.append(row)
                 print(json.dumps(row))
 

@@ -108,7 +108,12 @@ def export_obstacles(env: Environment) -> dict:
             if isinstance(shape, Rectangle):
                 w, h = shape.width / 2.0, shape.height / 2.0
                 pts = np.array([[-w, -h], [w, -h], [w, h], [-w, h]])
-            elif isinstance(shape, (Triangle, RegularPolygon)):
+            elif isinstance(shape, RegularPolygon):
+                # rendered at HALF the nominal radius (gbp_environment
+                # lib.rs:298-301; collider scale tile_size/2,
+                # map_generator.rs:349-366) — see env/model.py
+                pts = shape.points() * 0.5
+            elif isinstance(shape, Triangle):
                 pts = shape.points()
             elif isinstance(shape, Polygon):
                 pts = np.asarray(shape.points_list, dtype=float)

@@ -602,11 +602,24 @@ def tracking_factor_messages(
     cur_proj_to_prev_end = jnp.linalg.norm(prev_e - proj_cur, axis=-1)
     prev_proj_to_prev_end = jnp.linalg.norm(cur_s - proj_prev, axis=-1)
 
+    # Deliberate robustness divergence from tracking.rs:255-290 (whose own
+    # comment reads "TODO: FIX THE SWITCHING LOGIC"): the blend window is
+    # capped at half the previous segment's length. With the reference's
+    # fixed window, a kink preceded by a segment shorter than the configured
+    # switch-padding (Solo GP ships padding 5.0) makes the blended
+    # measurement point mp = proj_cur + proj_prev - x pull PERMANENTLY
+    # backwards for variables a few meters past the corner, deadlocking the
+    # final approach against the horizon pull (robot parks short of its
+    # goal; observed on the Solo GP RRT* route). Capping by the local
+    # geometry keeps the corner smoothing on normally-spaced paths and
+    # removes the trap.
+    prev_len = jnp.sqrt(pline_dot[..., 0])
+    blend_window = jnp.minimum(d_pad, 0.5 * prev_len)
     use_prev = (
         (rec > 0)
-        & (cur_proj_to_prev_end < d_pad)
+        & (cur_proj_to_prev_end < blend_window)
         & (cur_proj_to_prev_end > d_lo)
-        & (prev_proj_to_prev_end < d_pad)
+        & (prev_proj_to_prev_end < blend_window)
     )
 
     # record increment (tracking.rs:292-296), clamped like increment_record

@@ -47,6 +47,14 @@ def main(argv=None) -> int:
                         "(run-iteration-amount-experiment.fish: fibonacci)")
     p.add_argument("--externals", default=None,
                    help="comma list sweeping gbp.iteration-schedule.external")
+    p.add_argument("--comms-radii", default=None,
+                   help="comma list sweeping robot.communication.radius "
+                        "(run-varying-network-connectivity: 20,40,60,80)")
+    p.add_argument("--tracking", default=None,
+                   help="comma list of true/false sweeping "
+                        "gbp.factors-enabled.tracking (solo/collab GP)")
+    p.add_argument("--sigma-trackings", default=None,
+                   help="comma list sweeping gbp.sigma-factor-tracking")
     p.add_argument("--out", default="experiment-out")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None)
     args = p.parse_args(argv)
@@ -96,6 +104,18 @@ def main(argv=None) -> int:
     externals = (
         [int(x) for x in args.externals.split(",")] if args.externals else [None]
     )
+    radii = (
+        [float(x) for x in args.comms_radii.split(",")]
+        if args.comms_radii else [None]
+    )
+    trackings = (
+        [x.strip().lower() == "true" for x in args.tracking.split(",")]
+        if args.tracking else [None]
+    )
+    sigma_trk = (
+        [float(x) for x in args.sigma_trackings.split(",")]
+        if args.sigma_trackings else [None]
+    )
 
     summary: list[dict] = []
     for n in robot_counts:
@@ -103,9 +123,18 @@ def main(argv=None) -> int:
       for sk in schedules:
        for it in internals:
         for ex in externals:
-         for fr in failure_rates:
-            for seed in seeds:
+         for cr in radii:
+          for tk in trackings:
+           for stk in sigma_trk:
+            for fr in failure_rates:
+             for seed in seeds:
                 sc = copy.deepcopy(base)
+                if cr is not None:
+                    sc.config.robot.communication.radius = cr
+                if tk is not None:
+                    sc.config.gbp.factors_enabled.tracking = tk
+                if stk is not None:
+                    sc.config.gbp.sigma_factor_tracking = stk
                 if n is not None:
                     sc.formations.formations[0].robots = n
                 if fr is not None:
@@ -133,6 +162,12 @@ def main(argv=None) -> int:
                 ) + (
                     f"_e{ex}" if ex is not None else ""
                 ) + (
+                    f"_c{cr:g}" if cr is not None else ""
+                ) + (
+                    f"_t{int(tk)}" if tk is not None else ""
+                ) + (
+                    f"_g{stk:g}" if stk is not None else ""
+                ) + (
                     f"_f{fr}" if fr is not None else ""
                 ) + f"_s{seed}"
                 export = sim.export(out_dir / f"export_{tag}.json")
@@ -155,6 +190,12 @@ def main(argv=None) -> int:
                     row["internal"] = it
                 if ex is not None:
                     row["external"] = ex
+                if cr is not None:
+                    row["comms_radius"] = cr
+                if tk is not None:
+                    row["tracking"] = tk
+                if stk is not None:
+                    row["sigma_tracking"] = stk
                 summary.append(row)
                 print(json.dumps(row))
 

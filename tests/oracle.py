@@ -228,7 +228,12 @@ class Factor:
             pp = ps + (x_pos - ps) @ pline / (pline @ pline) * pline
             cur_to_prev_end = np.linalg.norm(pe - proj_cur)
             prev_to_prev_end = np.linalg.norm(cs - pp)
-            if cur_to_prev_end < pad and cur_to_prev_end > d_lo and prev_to_prev_end < pad:
+            # blend window capped at half the previous segment length — the
+            # framework's deliberate robustness divergence from
+            # tracking.rs:255-290 (see graph/factors.py tracking docstring);
+            # mirrored here so oracle lockstep holds in the capped regime.
+            window = min(pad, 0.5 * float(np.linalg.norm(pline)))
+            if cur_to_prev_end < window and cur_to_prev_end > d_lo and prev_to_prev_end < window:
                 proj_prev = pp
 
         if cur_to_end < pad:

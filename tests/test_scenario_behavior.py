@@ -109,3 +109,113 @@ def test_comms_failure_experiment_completes_at_zero_failure():
     # obstacle/inter-robot avoidance is broken in the cluttered regime)
     assert result["rr_collisions"] <= 60, result
     assert result["nbr_overflow"] == 0, result
+
+
+@pytest.mark.slow
+def test_schedules_experiment_every_schedule_completes():
+    """Schedules Experiment contract: the 30-robot clear-circle crossing
+    completes under each schedule kind at the experiment's 50i budget —
+    exercising core/schedule.py end-to-end (run-schedules-experiment.fish
+    sweeps all five kinds x external 5..25)."""
+    from magics_tpu.core.schedule import ScheduleKind
+
+    for kind in ("soon-as-possible", "late-as-possible"):
+        sc = load_scenario(f"{REF_SCENARIOS}/Schedules Experiment")
+        sc.config.gbp.iteration_schedule.schedule = ScheduleKind(kind)
+        sc.config.gbp.iteration_schedule.external = 10
+        sim = Simulator(sc, seed=0, max_sim_time=120.0, viz_log=False)
+        R = len(sim.specs)
+        result = sim.run()
+        assert result["completed"] == R, (kind, result)
+        assert result["rr_collisions"] <= 10, (kind, result)
+
+
+@pytest.mark.slow
+def test_iteration_amount_experiment_low_budget_completes():
+    """Iteration Amount Experiment contract: the 25-robot crossing still
+    completes at a low fibonacci budget (8i + 8e — the harness sweeps
+    1..34 x 1..34, run-iteration-amount-experiment.fish)."""
+    sc = load_scenario(f"{REF_SCENARIOS}/Iteration Amount Experiment")
+    sc.config.gbp.iteration_schedule.internal = 8
+    sc.config.gbp.iteration_schedule.external = 8
+    sim = Simulator(sc, seed=0, max_sim_time=150.0, viz_log=False)
+    R = len(sim.specs)
+    assert R == 25
+    result = sim.run()
+    assert result["completed"] == R, result
+
+
+@pytest.mark.slow
+def test_environment_obstacles_experiment_completes_cleanly():
+    """Environment Obstacles Experiment contract: 5 robots cross the
+    cluttered circle without environment collisions (the experiment's
+    metric, run-environment-obstacles-experiment.fish sweeps 5..50)."""
+    sim = Simulator(
+        load_scenario(f"{REF_SCENARIOS}/Environment Obstacles Experiment"),
+        seed=0, max_sim_time=300.0, viz_log=False,
+    )
+    R = len(sim.specs)
+    assert R == 5
+    result = sim.run()
+    assert result["completed"] == R, result
+    assert result["re_collisions"] == 0, result
+
+
+@pytest.mark.slow
+def test_varying_network_connectivity_sparse_radius_completes():
+    """Varying Network Connectivity contract: the cluttered crossing
+    completes even at the sparsest swept comms radius (20 m of the
+    reference's 20/40/60/80, run-varying-network-connectivity-....fish)."""
+    sc = load_scenario(
+        f"{REF_SCENARIOS}/Varying Network Connectivity Experiment"
+    )
+    sc.config.robot.communication.radius = 20.0
+    sim = Simulator(sc, seed=0, max_sim_time=600.0, viz_log=False)
+    R = len(sim.specs)
+    result = sim.run()
+    # sparse comms degrades coordination; the contract is substantial
+    # completion without a jam (reference outliers filtered at 1000 s)
+    assert result["completed"] >= R - 2, result
+
+
+@pytest.mark.slow
+def test_junction_twoway_flows_and_despawns():
+    """Junction Twoway contract: infinite spawners stream robots through
+    the two-way junction; robots reach their final waypoint and despawn
+    (capacity recycling), goal areas record arrivals."""
+    sim = Simulator(
+        load_scenario(f"{REF_SCENARIOS}/Junction Twoway"),
+        seed=0, max_sim_time=60.0, viz_log=False,
+    )
+    result = sim.run()
+    assert result["completed"] >= 4, result
+    assert result["nbr_overflow"] == 0, result
+
+
+@pytest.mark.slow
+def test_solo_gp_rrtstar_mission_completes():
+    """Solo GP contract: the rrt-star planning strategy at experiment
+    scale — the robot plans through the Solo GP environment in flight and
+    completes its route (robot.rs:562-812 mission flow)."""
+    sim = Simulator(
+        load_scenario(f"{REF_SCENARIOS}/Solo GP"),
+        seed=0, max_sim_time=300.0, viz_log=False,
+    )
+    R = len(sim.specs)
+    assert R == 1
+    result = sim.run()
+    assert result["completed"] == R, result
+    assert result["re_collisions"] == 0, result
+
+
+@pytest.mark.slow
+def test_collaborative_gp_missions_complete():
+    """Collaborative GP contract: ten rrt-star robots spawn on staggered
+    timers, plan in flight, and complete their routes."""
+    sim = Simulator(
+        load_scenario(f"{REF_SCENARIOS}/Collaborative GP"),
+        seed=0, max_sim_time=400.0, viz_log=False,
+    )
+    result = sim.run()
+    R = len(sim.specs)
+    assert result["completed"] >= R - 1, result

@@ -19,6 +19,7 @@ the comparable bar its experiments actually ran at (with 30-50 robots).
 from __future__ import annotations
 
 import json
+import sys
 import time
 from functools import partial
 
@@ -64,6 +65,9 @@ def main() -> None:
         # (gbp_config/src/lib.rs:467-469) — robots steer by waypoint priors
         # alone. Match that workload exactly.
         tracking_enabled=False,
+        # receiver-computes exchange (ARCHITECTURE §8 lever (a)): no
+        # per-slot outbox gather; equivalent maths (tests/test_receiver_ext)
+        ext_exchange=(sys.argv[1] if len(sys.argv) > 1 else "receiver_compact"),
     )
     V = params.n_vars
     K = params.n_slots

@@ -502,6 +502,66 @@ def interrobot_rank1_messages_compact(
     return jnp.stack([gx * ok, gy * ok, t * ok, s * ok], axis=-1)
 
 
+def interrobot_rank1_messages_compact_hot(
+    tab: jax.Array,          # [V1, 8, K, R] gathered compact tables, hot
+    seeded: jax.Array,       # [V1, K, R] bool
+    p_ext: jax.Array,        # [2, V1, K, R]
+    safety: jax.Array,       # [K, R]
+    tiny: jax.Array,         # [V1, K, R]
+    sigma: float,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """`interrobot_rank1_messages_compact` with the ROBOT AXIS LAST on every
+    operand (the hot layout of kernels/hot.py) — returns [4, V1, K, R].
+
+    Identical arithmetic, different index order: in the hot-layout driver
+    the robot-minor physical layout of ext_inbox/state would otherwise make
+    XLA physically re-lay the [R, K, V-1, 8] gathered tables twice per
+    external pass (~37 ms/tick at R=10240 measured); computing in hot index
+    space leaves one 2-D transpose of the gather output as the only
+    relayout.
+    """
+    snap_x, snap_y = tab[:, 0], tab[:, 1]
+    mcx, mcy = tab[:, 2], tab[:, 3]
+    Sxx, Sxy, Syy = tab[:, 4], tab[:, 5], tab[:, 6]
+    cav_valid = (tab[:, 7] > 0.5) & seeded
+
+    dx_raw = snap_x - p_ext[0]
+    dy_raw = snap_y - p_ext[1]
+    dist2_raw = dx_raw * dx_raw + dy_raw * dy_raw
+    saf = safety[None, :, :]
+    skipped = dist2_raw >= saf * saf
+
+    dx = dx_raw + tiny
+    dy = dy_raw + tiny
+    r = jnp.sqrt(dx * dx + dy * dy)
+    within = r <= saf
+
+    h0 = jnp.where(within, 1.0 - r / saf, 0.0).astype(dtype)
+    safe_r = jnp.where(r > 0, r, 1.0)
+    scale = jnp.where(within, -1.0 / (saf * safe_r), 0.0).astype(dtype)
+    gx = dx.astype(dtype) * scale
+    gy = dy.astype(dtype) * scale
+
+    alpha = jnp.asarray(1.0 / (sigma * sigma), dtype)
+    jx0 = gx * dx_raw.astype(dtype) + gy * dy_raw.astype(dtype)
+    resid = jx0 - h0
+
+    u = gx * gx * Sxx + 2.0 * gx * gy * Sxy + gy * gy * Syy
+    den = 1.0 + alpha * u
+    s = alpha / den
+    t = alpha * (gx * mcx + gy * mcy - resid) / den
+
+    gmax2 = jnp.maximum(jnp.abs(gx), jnp.abs(gy)) ** 2
+    finite = jnp.isfinite(s) & jnp.isfinite(t)
+    rtol = 1e-4 if dtype == jnp.float32 else 1e-12
+    negligible = jnp.abs(s) * gmax2 <= rtol * alpha * gmax2
+    valid = cav_valid & finite & ~negligible & ~skipped
+
+    ok = valid.astype(dtype)
+    return jnp.stack([gx * ok, gy * ok, t * ok, s * ok], axis=0)
+
+
 def rank1_eta_lam(msg: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Expand compact rank-1 messages [..., (gx, gy, t, s)] to information
     form (eta [..., 4], lam [..., 4, 4]) — only the position block is ever

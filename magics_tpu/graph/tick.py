@@ -67,6 +67,7 @@ def compute_back_slots(nbr_idx: jax.Array, nbr_mask: jax.Array, comm=LOCAL):
     return back, has_back
 
 
+
 def _gather_from_peer(arr: jax.Array, nbr_idx, back, mask):
     """out[r, k, ...] = arr[nbr_idx[r,k], back[r,k], ...], 0 where ~mask.
     `arr` must be a GLOBAL [R_total, K, ...] array (comm.all_robots'd).
@@ -896,6 +897,30 @@ def _external_factor_pass_receiver(
             state.snap_mu, state.snap_eta, state.snap_lam, dtype=f
         )  # [R, V1, 8]
         tables_all = comm.all_robots(tables).reshape(-1, V1 * 8)
+        if params.use_pallas:
+            # hot-layout driver: gather rows in (k-major, r-minor) order and
+            # compute in hot index space — the bitcast-compatible layout of
+            # ext_inbox's robot-minor storage, so the gather-output
+            # transpose is the only physical relayout (see
+            # interrobot_rank1_messages_compact_hot).
+            rows = tables_all[src.T.reshape(-1)]          # [K*R, V1*8]
+            tab_hot = rows.T.reshape(V1, 8, K, R)         # one 2-D transpose
+            seeded_hot = jnp.transpose(seeded, (2, 1, 0))
+            p_ext_hot = jnp.transpose(p_ext, (3, 2, 1, 0))
+            saf_hot = (params.safety_distance_multiplier * rad_all)[src].T
+            tiny_hot = jnp.transpose(tiny, (2, 1, 0))
+            msg_hot = F.interrobot_rank1_messages_compact_hot(
+                tab_hot, seeded_hot, p_ext_hot, saf_hot, tiny_hot,
+                params.sigma_factor_interrobot, dtype=f,
+            )  # [4, V1, K, R]
+            deliver_hot = deliver.T[None, None]
+            inbox_hot = jnp.transpose(state.ext_inbox, (3, 2, 1, 0))
+            out_hot = jnp.where(deliver_hot, msg_hot, inbox_hot)
+            ext_inbox = jnp.transpose(out_hot, (3, 2, 1, 0))
+            iter_count = state.iter_count_factor + send_gate.astype(jnp.int32)
+            return replace(
+                state, ext_inbox=ext_inbox, iter_count_factor=iter_count
+            )
         peer_tab = _gather_rows_pinned(tables_all, src).reshape(R, K, V1, 8)
         msg = F.interrobot_rank1_messages_compact(
             peer_tab, seeded, p_ext, safety, tiny,

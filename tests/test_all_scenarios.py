@@ -18,8 +18,21 @@ REF_SCENARIOS = "/root/reference/config/scenarios"
 
 ALL = list_scenarios(REF_SCENARIOS)
 
+# scenarios whose build alone costs 20-35 s (global-planner pre-planning /
+# big SDF bakes) live in the slow tier; the fast tier keeps broad coverage
+# with the cheap ones (VERDICT round-4 item: a core tier under ~5 min)
+_HEAVY = {
+    "Collaborative GP", "Collaborative Complex", "Solo GP", "Showcase",
+    "Communications Failure Experiment", "Varying Network Connectivity "
+    "Experiment", "Environment Obstacles Experiment",
+}
 
-@pytest.mark.parametrize("name", ALL)
+
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in _HEAVY else n
+     for n in ALL],
+)
 def test_scenario_builds_simulator(name):
     s = load_scenario(f"{REF_SCENARIOS}/{name}")
     # cap the pre-planned horizon so infinite-repeat spawners stay small
@@ -38,8 +51,10 @@ def test_scenario_builds_simulator(name):
     "name",
     [
         "Junction Experiment",            # crossing streams, goal areas
-        "Communications Failure Experiment",  # failure_rate > 0
-        "Structured Junction",            # tile-grid environment + obstacles
+        pytest.param("Communications Failure Experiment",
+                     marks=pytest.mark.slow),  # failure_rate > 0, big SDF
+        pytest.param("Structured Junction",
+                     marks=pytest.mark.slow),  # tile grid + obstacles
     ],
 )
 def test_scenario_runs_ticks(name):

@@ -2,6 +2,8 @@
 
 import dataclasses
 
+import pytest
+
 import numpy as np
 import jax
 
@@ -107,6 +109,7 @@ def test_grid_mode_mismatch_rejected(tmp_path):
         CK.load(p, params=grid_params)
 
 
+@pytest.mark.slow
 def test_simulator_reset_is_reload(tmp_path):
     """Simulator.reset == scenario hot-reload (simulation_loader.rs:687-713):
     the rebuilt state matches a fresh Simulator's initial state."""

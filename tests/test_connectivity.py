@@ -162,6 +162,7 @@ def test_truncation_random_cluster_healthy_degree():
     assert int(np.asarray(st.nbr_overflow)) > 0
 
 
+@pytest.mark.slow
 def test_simulator_auto_sizes_slots():
     """Simulator default K covers every possible pair at experiment scale."""
     import pathlib

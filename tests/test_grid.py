@@ -92,6 +92,7 @@ def _build(R, grid: bool):
     )
 
 
+@pytest.mark.slow
 def test_grid_tick_matches_dense_exactly():
     """Full-tick lockstep: with ample bucket capacity the grid path must be
     bit-identical to the dense path in every shared state field."""
@@ -137,6 +138,7 @@ def _two_robot_specs(d):
     return specs
 
 
+@pytest.mark.slow
 def test_grid_collision_radius_independent_of_comms():
     """Colliding pairs outside the comms radius must still be counted: the
     collision grid's stencil derives from 2*max_robot_radius, not from
@@ -164,6 +166,7 @@ def test_grid_collision_radius_independent_of_comms():
     assert int(state.rr_partner_overflow) == 0
 
 
+@pytest.mark.slow
 def test_partner_table_overflow_counter():
     """More simultaneous overlaps than collision_partners slots must be
     visible via rr_partner_overflow (ADVICE r1, state.py collision_partners)."""

@@ -8,10 +8,12 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_repl_step_run_export(tmp_path):
     out_json = tmp_path / "mid.json"
     script = (

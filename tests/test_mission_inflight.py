@@ -76,6 +76,7 @@ def _drive(params, state, sdf, mission, n_ticks, poll_every=2):
     return state, trace
 
 
+@pytest.mark.slow
 def test_robot_idles_until_plan_arrives_then_completes_two_segments():
     taskpoints = np.array([[-20.0, 0.0], [0.0, 0.0], [20.0, 0.0]])
     params, state, sdf, mission, planner = _build(taskpoints)

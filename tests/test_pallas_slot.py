@@ -10,6 +10,7 @@ bounded chaos documented in tests/test_parity.py).
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +40,7 @@ def _pre_gbp(state, params):
     return state
 
 
+@pytest.mark.slow
 def test_single_slot_matches_xla():
     params, state, sdf = _scenario()
     st = _pre_gbp(state, params)
@@ -98,6 +100,7 @@ def test_single_slot_matches_xla():
         )
 
 
+@pytest.mark.slow
 def test_multi_tick_trajectories_agree():
     """20 ticks of a 4-robot crossing: both paths drive the same trajectories
     (interpreter-mode Pallas is ~2.5 s/tick, so the window is kept short; the

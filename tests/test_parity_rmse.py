@@ -53,6 +53,7 @@ def test_lanes_rmse_well_conditioned():
     assert rmse.max() < 1e-6, rmse
 
 
+@pytest.mark.slow
 def test_circle_crossing_qualitative_parity():
     """8-robot antipodal crossing (the Circle-Experiment geometry, tracking
     disabled per its config): the crush is chaotic so trajectories diverge,

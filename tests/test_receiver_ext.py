@@ -134,6 +134,7 @@ def test_receiver_with_grid_and_despawn():
     assert bool(np.asarray(sa.completed).all())
 
 
+@pytest.mark.slow
 def test_receiver_compact_hot_branch_matches_xla():
     """The hot-index-space compact path (use_pallas driver,
     factors.interrobot_rank1_messages_compact_hot) must match the plain XLA

@@ -63,6 +63,7 @@ def test_dense_tick_shard_equivalence():
     _assert_equivalent(params, state, sdf)
 
 
+@pytest.mark.slow
 def test_grid_tick_shard_equivalence_with_env():
     specs = circle_formation(16, circle_radius=20.0, target_speed=8.0)
     params, state, sdf = build_scenario(
@@ -76,6 +77,7 @@ def test_grid_tick_shard_equivalence_with_env():
     _assert_equivalent(params, state, sdf, env_dist=jnp.asarray(env_dist))
 
 
+@pytest.mark.slow
 def test_pallas_tick_shard_equivalence():
     specs = circle_formation(16, circle_radius=20.0, target_speed=8.0)
     params, state, sdf = build_scenario(

@@ -96,27 +96,12 @@ def interactive_loop(sim, *, quiet: bool = False, live=None) -> dict:
                 # live config editing with immediate effect (ui/settings.rs):
                 # GbpParams is static under jit, so the next step simply
                 # compiles against the new value
-                import dataclasses as _dc
+                from magics_tpu.sim.simulator import apply_live_set
 
-                key, value = rest[0].replace("-", "_"), rest[1]
-                live = {
-                    "comms_radius": float,
-                    "comms_failure_rate": float,
-                    "sigma_factor_dynamics": float,
-                    "sigma_factor_interrobot": float,
-                    "sigma_factor_obstacle": float,
-                    "sigma_factor_tracking": float,
-                    "safety_distance_multiplier": float,
-                    "dynamic_enabled": lambda v: v.lower() == "true",
-                    "interrobot_enabled": lambda v: v.lower() == "true",
-                    "obstacle_enabled": lambda v: v.lower() == "true",
-                    "tracking_enabled": lambda v: v.lower() == "true",
-                }
-                if key not in live:
-                    emit(f"not live-editable: {key} (editable: {', '.join(live)})")
-                else:
-                    sim.params = _dc.replace(sim.params, **{key: live[key](value)})
-                    emit(f"{key} = {getattr(sim.params, key)}")
+                try:
+                    emit(apply_live_set(sim, rest[0], rest[1]))
+                except KeyError as ke:
+                    emit(str(ke.args[0]))
             elif cmd == "snapshot" and rest:
                 from magics_tpu.env.sdf import env_to_image
                 from magics_tpu.viz.render import render_trajectories
@@ -443,14 +428,15 @@ def main(argv=None) -> int:
     with profile_cm:
         if args.interactive:
             summary = interactive_loop(sim, quiet=args.quiet, live=live)
+        elif live is not None:
+            # control-aware loop: the browser can pause/step/edit the run
+            # (finer chunks -> smoother live frames, 0.5 s of sim each)
+            summary = live.drive(chunk_ticks=5, progress=progress)
         else:
             summary = sim.run(
                 progress=progress,
                 checkpoint_path=args.checkpoint,
                 checkpoint_every_s=args.checkpoint_every,
-                on_chunk=(lambda st, _t: live.push(st)) if live else None,
-                # finer chunks -> smoother live frames (0.5 s of sim each)
-                chunk_ticks=5 if live else 100,
             )
     if args.profile and not args.quiet:
         print(f"profile: {args.profile}", file=sys.stderr)

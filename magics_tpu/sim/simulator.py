@@ -27,6 +27,40 @@ from magics_tpu.graph import tick as T
 from magics_tpu.sim.builder import RobotSpec, build_scenario
 
 
+# GbpParams fields editable while a sim runs (the reference's live egui
+# settings panel, ui/settings.rs). GbpParams is static under jit, so a new
+# value simply recompiles the next step. Shared by the REPL `set` command
+# (cli.interactive_loop) and the browser control channel (viz/live.py).
+LIVE_EDITABLE = {
+    "comms_radius": float,
+    "comms_failure_rate": float,
+    "sigma_factor_dynamics": float,
+    "sigma_factor_interrobot": float,
+    "sigma_factor_obstacle": float,
+    "sigma_factor_tracking": float,
+    "safety_distance_multiplier": float,
+    "dynamic_enabled": lambda v: str(v).lower() == "true",
+    "interrobot_enabled": lambda v: str(v).lower() == "true",
+    "obstacle_enabled": lambda v: str(v).lower() == "true",
+    "tracking_enabled": lambda v: str(v).lower() == "true",
+}
+
+
+def apply_live_set(sim, key: str, value) -> str:
+    """Apply one live config edit (`set key value`) to a running sim.
+
+    Returns a human-readable confirmation; raises KeyError for a field
+    that is not live-editable.
+    """
+    key = key.replace("-", "_")
+    if key not in LIVE_EDITABLE:
+        raise KeyError(
+            f"not live-editable: {key} (editable: {', '.join(LIVE_EDITABLE)})"
+        )
+    sim.params = dataclasses.replace(sim.params, **{key: LIVE_EDITABLE[key](value)})
+    return f"{key} = {getattr(sim.params, key)}"
+
+
 @dataclasses.dataclass
 class RobotLog:
     spawn_tick: int
@@ -70,6 +104,7 @@ class Simulator:
         world = env.world_size
         self._world = world
         self._planner = None
+        self._runners: dict[int, object] = {}
         sdf_np = env_to_sdf(env)
         # collision / planning geometry is unexpanded (map_generator.rs:22-38)
         obstacle_img = env_to_image(env, expansion=0.0) == 0
@@ -343,7 +378,11 @@ class Simulator:
         fetches a completion flag per chunk and the full log once at the end.
         """
         max_ticks = max_ticks or int(self.max_sim_time * self.hz)
-        runners: dict[int, object] = {}
+        # the runner cache lives on the instance so REPEATED run() calls (the
+        # REPL's step loop, LiveServer.drive's chunked loop) reuse the same
+        # jit wrapper — jax caches compilations per wrapper object, so a
+        # local cache would recompile run_ticks on every call
+        runners = self._runners
 
         def run_chunk(state, n):
             if n not in runners:

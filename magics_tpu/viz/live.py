@@ -41,6 +41,14 @@ class LiveServer:
         self._scene = self._build_scene(sim)
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # control channel (browser -> sim): POST /cmd enqueues, the driving
+        # thread (drive()) consumes between device chunks — the reference's
+        # egui pause/play + settings panel (pause_play.rs:16-47,
+        # ui/settings.rs), redesigned as an HTTP command queue so the
+        # handler threads never touch device state
+        self.paused = False
+        self._cmds: list[dict] = []
+        self._cv = threading.Condition()
 
     # -- scene (static) -----------------------------------------------------
 
@@ -102,6 +110,87 @@ class LiveServer:
             lo = max(0, seq - self._seq0)
             return self._seq0 + len(self._frames), self._frames[lo:]
 
+    # -- control channel ----------------------------------------------------
+
+    def submit(self, cmd: dict) -> None:
+        """Enqueue one control command ({"op": "pause"|"resume"|"step"|
+        "set"|"quit", ...}) and wake the driving thread."""
+        with self._cv:
+            self._cmds.append(cmd)
+            self._cv.notify_all()
+
+    def _wait_cmds(self, timeout: float) -> list[dict]:
+        with self._cv:
+            if not self._cmds:
+                self._cv.wait(timeout)
+            cmds, self._cmds = self._cmds, []
+            return cmds
+
+    def drive(self, chunk_ticks: int = 5, progress=None) -> dict:
+        """Control-aware run loop: advances the sim in small chunks, pushing
+        a frame after each, while honouring browser commands between chunks.
+
+        Replaces the single `sim.run()` call when `--serve` runs without
+        `--interactive`. Semantics mirror the reference's virtual-time
+        pause/play (pause_play.rs:16-47) and manual stepping
+        (robot.rs:2448-2519): `pause` freezes virtual time, `step n`
+        advances n ticks while paused, `set key value` edits GbpParams with
+        effect from the next chunk, `quit` ends the run.
+        """
+        import numpy as np
+
+        from magics_tpu.sim.simulator import apply_live_set
+
+        sim = self.sim
+        max_ticks = int(sim.max_sim_time * sim.hz)
+        last_spawn = max(s.spawn_tick for s in sim.specs)
+        summary: dict | None = None
+        while True:
+            step_n = 0
+            quit_req = False
+            for cmd in self._wait_cmds(0.25 if self.paused else 0.0):
+                op = cmd.get("op")
+                if op == "pause":
+                    self.paused = True
+                elif op == "resume":
+                    self.paused = False
+                elif op == "step":
+                    step_n += max(1, int(cmd.get("n", 1)))
+                elif op == "set":
+                    try:
+                        apply_live_set(sim, cmd.get("key", ""), cmd.get("value"))
+                    except (KeyError, ValueError, TypeError):
+                        pass  # bad edits are ignored, the view shows state
+                elif op == "quit":
+                    quit_req = True
+            if quit_req:
+                break
+            if self.paused and step_n == 0:
+                continue
+            tick = int(np.asarray(sim.state.tick))
+            if tick >= max_ticks:
+                break
+            n = step_n if step_n else chunk_ticks
+            summary = sim.run(
+                max_ticks=min(tick + n, max_ticks),
+                chunk_ticks=n,
+                progress=progress,
+                on_chunk=lambda st, _t: self.push(st),
+            )
+            if (
+                not self.paused
+                and summary["completed"] == summary["robots"]
+                and summary["ticks"] >= last_spawn
+                and (sim.mission is None or not sim.mission.active)
+            ):
+                break
+        if summary is None:
+            # never advanced (immediate quit): synthesise the summary the
+            # plain run() would have returned for zero ticks
+            tick = int(np.asarray(sim.state.tick))
+            summary = sim.run(max_ticks=tick, chunk_ticks=1)
+        return summary
+
     # -- server -------------------------------------------------------------
 
     def start(self) -> None:
@@ -134,6 +223,11 @@ class LiveServer:
                     self._send(body, "application/json")
                 elif self.path.startswith("/scene.json"):
                     self._send(server._scene.encode(), "application/json")
+                elif self.path.startswith("/status.json"):
+                    self._send(
+                        json.dumps({"paused": server.paused}).encode(),
+                        "application/json",
+                    )
                 else:
                     page = (
                         _LIVE_TEMPLATE
@@ -144,6 +238,22 @@ class LiveServer:
                         )
                     )
                     self._send(page.encode(), "text/html; charset=utf-8")
+
+            def do_POST(self):  # noqa: N802
+                if not self.path.startswith("/cmd"):
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    cmd = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    cmd = {}
+                if cmd.get("op") in ("pause", "resume", "step", "set", "quit"):
+                    server.submit(cmd)
+                    self._send(b'{"ok":true}', "application/json")
+                else:
+                    self._send(b'{"ok":false}', "application/json")
 
         self._httpd = ThreadingHTTPServer(("127.0.0.1", self.port), Handler)
         self.port = self._httpd.server_address[1]  # resolved when port=0
@@ -168,8 +278,13 @@ body { display: flex; height: 100vh; font: 13px/1.5 system-ui, sans-serif; }
 #panel h1 { font-size: 15px; margin-bottom: 8px; }
 .kv { display: flex; justify-content: space-between; }
 .kv span:last-child { font-variant-numeric: tabular-nums; }
-#pause { margin-top: 10px; border: none; border-radius: 4px;
+button { margin-top: 10px; border: none; border-radius: 4px;
          padding: 4px 10px; cursor: pointer; font-weight: 600; }
+#ctl { margin-top: 14px; border-top: 1px solid #0003; padding-top: 8px; }
+#ctl select, #ctl input { width: 100%; margin-top: 4px; border-radius: 4px;
+                          border: none; padding: 3px 6px; }
+.row { display: flex; gap: 6px; }
+.row button { flex: 1; }
 </style></head><body>
 <canvas id="scene"></canvas>
 <div id="panel">
@@ -180,6 +295,24 @@ body { display: flex; height: 100vh; font: 13px/1.5 system-ui, sans-serif; }
   <div class="kv"><span>robot–robot collisions</span><span id="m-rr">–</span></div>
   <div class="kv"><span>robot–environment</span><span id="m-re">–</span></div>
   <button id="pause">pause view</button>
+  <div id="ctl">
+    <div class="row">
+      <button id="sim-pause">&#9208; pause sim</button>
+      <button id="sim-step">step</button>
+    </div>
+    <select id="set-key">
+      <option>comms-radius</option><option>comms-failure-rate</option>
+      <option>sigma-factor-dynamics</option>
+      <option>sigma-factor-interrobot</option>
+      <option>sigma-factor-obstacle</option>
+      <option>sigma-factor-tracking</option>
+      <option>safety-distance-multiplier</option>
+      <option>dynamic-enabled</option><option>interrobot-enabled</option>
+      <option>obstacle-enabled</option><option>tracking-enabled</option>
+    </select>
+    <input id="set-value" placeholder="value" />
+    <button id="set-apply">apply</button>
+  </div>
 </div>
 <script>
 const THEME = __THEME__, CYCLE = __CYCLE__;
@@ -195,6 +328,22 @@ document.getElementById("pause").onclick = () => {
   document.getElementById("pause").textContent =
     follow ? "pause view" : "resume view";
 };
+
+// sim control (POST /cmd -> LiveServer.drive). Available when the server
+// drives the run; under --interactive the REPL owns virtual time and these
+// commands are queued but unread.
+let simPaused = false;
+const cmd = (c) => fetch("/cmd", { method: "POST", body: JSON.stringify(c) });
+const pauseBtn = document.getElementById("sim-pause");
+pauseBtn.onclick = async () => {
+  simPaused = !simPaused;
+  await cmd({ op: simPaused ? "pause" : "resume" });
+  pauseBtn.innerHTML = simPaused ? "&#9654; resume sim" : "&#9208; pause sim";
+};
+document.getElementById("sim-step").onclick = () => cmd({ op: "step", n: 1 });
+document.getElementById("set-apply").onclick = () =>
+  cmd({ op: "set", key: document.getElementById("set-key").value,
+        value: document.getElementById("set-value").value });
 
 async function boot() {
   scene = await (await fetch("/scene.json")).json();

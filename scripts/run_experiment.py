@@ -55,6 +55,12 @@ def main(argv=None) -> int:
                         "gbp.factors-enabled.tracking (solo/collab GP)")
     p.add_argument("--sigma-trackings", default=None,
                    help="comma list sweeping gbp.sigma-factor-tracking")
+    p.add_argument("--preplan", action="store_true",
+                   help="pre-plan rrt-star routes at build time instead of "
+                        "in-flight (Simulator(inflight_planning=False)): "
+                        "in-flight plan application depends on host "
+                        "wall-clock vs the poll cadence, so same-seed sweep "
+                        "rows are only reproducible with this flag")
     p.add_argument("--out", default="experiment-out")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None)
     args = p.parse_args(argv)
@@ -151,7 +157,8 @@ def main(argv=None) -> int:
                     sc.config.gbp.iteration_schedule.external = ex
                 t0 = time.perf_counter()
                 sim = Simulator(sc, seed=seed, max_sim_time=args.max_time,
-                                viz_log=False)
+                                viz_log=False,
+                                inflight_planning=not args.preplan)
                 result = sim.run()
                 tag = f"{args.scenario.replace(' ', '-')}_r{n or 'cfg'}" + (
                     f"_v{v0:g}" if v0 is not None else ""

@@ -16,14 +16,17 @@ import time
 from pathlib import Path
 
 
-def interactive_loop(sim, *, quiet: bool = False, live=None) -> dict:
+def interactive_loop(sim, *, quiet: bool = False, live=None,
+                     scenarios_dir=None, max_sim_time=None) -> dict:
     """Pause/play + manual stepping REPL over a live simulation.
 
     Virtual time only advances on `step`/`run` — the paused prompt IS the
     reference's pause state (pause_play.rs:16-47); `step` is manual stepping
     (robot.rs:2448-2519, `manual-step-factor` granularity); `reset` is the
-    F5 scenario-reload flow. Commands act on the running device state, so
-    exports/checkpoints snapshot mid-run.
+    F5 scenario-reload flow, `load NAME` the F4/F6 scenario-switch flow
+    (simulation_loader.rs:594-720: despawn world, swap configs, reseed).
+    Commands act on the running device state, so exports/checkpoints
+    snapshot mid-run.
     """
     import sys
 
@@ -118,6 +121,33 @@ def interactive_loop(sim, *, quiet: bool = False, live=None) -> dict:
             elif cmd == "reset":
                 sim.reset(seed=int(rest[0]) if rest else None)
                 emit("scenario reloaded (F5)")
+            elif cmd == "load" and rest and scenarios_dir is not None:
+                # scenario SWITCH mid-session (the reference's F4/F6 +
+                # Request::Load flow): drop the old world entirely, build
+                # the new scenario, reseed from its own prng-seed
+                from pathlib import Path
+
+                from magics_tpu.config.loader import load_scenario
+                from magics_tpu.sim.simulator import Simulator
+
+                name = " ".join(rest)
+                target = Path(name)
+                if not target.is_dir():
+                    target = Path(scenarios_dir) / name
+                # carry the CLI --max-time override across the switch: spec
+                # lists pre-materialize repeated spawns out to max-time, so
+                # the scenario's own 10,000 s default would build tens of
+                # thousands of specs for repeating formations
+                sim = Simulator(load_scenario(target), max_sim_time=max_sim_time)
+                step_factor = max(1, int(sim.cfg.simulation.manual_step_factor))
+                max_ticks = int(sim.max_sim_time * sim.hz)
+                if live is not None:
+                    live.rebind(sim)
+                emit(f"loaded scenario: {sim.scenario.name}")
+            elif cmd == "scenarios" and scenarios_dir is not None:
+                from magics_tpu.config.loader import list_scenarios
+
+                emit("\n".join(list_scenarios(scenarios_dir)))
             elif cmd in ("h", "help"):
                 emit(
                     "run [seconds] — advance virtual time (to max-time "
@@ -125,7 +155,8 @@ def interactive_loop(sim, *, quiet: bool = False, live=None) -> dict:
                     f"(default {step_factor}); status; export PATH; "
                     "snapshot PATH.png; checkpoint PATH; set KEY VALUE "
                     "(live config edit); save-settings [PATH]; "
-                    "reset [seed]; quit"
+                    "reset [seed]; load NAME (switch scenario); "
+                    "scenarios; quit"
                 )
             else:
                 emit(f"unknown command: {cmd} (try 'help')")
@@ -427,7 +458,11 @@ def main(argv=None) -> int:
             print(f"live view: http://localhost:{live.port}", file=sys.stderr)
     with profile_cm:
         if args.interactive:
-            summary = interactive_loop(sim, quiet=args.quiet, live=live)
+            summary = interactive_loop(
+                sim, quiet=args.quiet, live=live,
+                scenarios_dir=args.scenarios_dir,
+                max_sim_time=args.max_time,
+            )
         elif live is not None:
             # control-aware loop: the browser can pause/step/edit the run
             # (finer chunks -> smoother live frames, 0.5 s of sim each)

@@ -81,6 +81,16 @@ class LiveServer:
             }
         )
 
+    def rebind(self, sim) -> None:
+        """Point the server at a NEW Simulator (the REPL's `load` scenario
+        switch): rebuild the static scene, drop stale frames."""
+        self.sim = sim
+        self._scene = self._build_scene(sim)
+        with self._lock:
+            self._seq0 += len(self._frames)
+            self._frames = []
+        self.push(sim.state)
+
     # -- frames -------------------------------------------------------------
 
     def push(self, state) -> None:

@@ -46,3 +46,41 @@ def test_repl_step_run_export(tmp_path):
     assert out_json.exists()
     data = json.loads(out_json.read_text())
     assert data["makespan"] > 0
+
+
+def test_repl_scenario_switch():
+    """`load NAME` is the F4/F6 scenario-switch flow
+    (simulation_loader.rs:594-720): the running world is dropped and the
+    new scenario built from its own configs. No ticks are stepped, so the
+    test only pays scenario-build time."""
+    script = (
+        "import sys, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from magics_tpu.cli import main\n"
+        "sys.exit(main(['-i', 'Communications Failure Experiment',"
+        " '--scenarios-dir', '/root/reference/config/scenarios',"
+        " '--interactive', '--max-time', '5', '--quiet']))\n"
+    )
+    cmds = "status\nscenarios\nload Junction Experiment\nstatus\nquit\n"
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        input=cmds,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr
+    statuses = [
+        json.loads(line)
+        for line in proc.stderr.splitlines()
+        if line.startswith("{")
+    ]
+    assert statuses[0]["robots"] == 21        # comms-failure circle
+    assert statuses[1]["robots"] != 21        # junction formations
+    # the CLI --max-time override carries across the switch — without it
+    # the scenario's 10,000 s default materializes ~20k repeat-spawn specs
+    assert statuses[1]["robots"] < 100
+    assert statuses[1]["ticks"] == 0          # fresh world
+    assert "Junction Experiment" in proc.stderr   # `scenarios` listing
+    assert "loaded scenario: Junction Experiment" in proc.stderr

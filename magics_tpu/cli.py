@@ -466,7 +466,11 @@ def main(argv=None) -> int:
         elif live is not None:
             # control-aware loop: the browser can pause/step/edit the run
             # (finer chunks -> smoother live frames, 0.5 s of sim each)
-            summary = live.drive(chunk_ticks=5, progress=progress)
+            summary = live.drive(
+                chunk_ticks=5, progress=progress,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every_s=args.checkpoint_every,
+            )
         else:
             summary = sim.run(
                 progress=progress,

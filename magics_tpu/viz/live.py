@@ -136,7 +136,8 @@ class LiveServer:
             cmds, self._cmds = self._cmds, []
             return cmds
 
-    def drive(self, chunk_ticks: int = 5, progress=None) -> dict:
+    def drive(self, chunk_ticks: int = 5, progress=None,
+              checkpoint_path=None, checkpoint_every_s: float | None = None) -> dict:
         """Control-aware run loop: advances the sim in small chunks, pushing
         a frame after each, while honouring browser commands between chunks.
 
@@ -154,6 +155,12 @@ class LiveServer:
         sim = self.sim
         max_ticks = int(sim.max_sim_time * sim.hz)
         last_spawn = max(s.spawn_tick for s in sim.specs)
+        # periodic checkpointing is tracked here, not inside sim.run: the
+        # short per-chunk run() calls each reset run()'s own interval clock
+        ckpt_interval = (
+            int(checkpoint_every_s * sim.hz) if checkpoint_every_s else None
+        )
+        last_ckpt = 0
         summary: dict | None = None
         while True:
             step_n = 0
@@ -187,6 +194,13 @@ class LiveServer:
                 progress=progress,
                 on_chunk=lambda st, _t: self.push(st),
             )
+            if (
+                checkpoint_path is not None
+                and ckpt_interval
+                and summary["ticks"] - last_ckpt >= ckpt_interval
+            ):
+                sim.save_checkpoint(checkpoint_path)
+                last_ckpt = summary["ticks"]
             if (
                 not self.paused
                 and summary["completed"] == summary["robots"]

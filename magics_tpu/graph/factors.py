@@ -643,6 +643,18 @@ def tracking_factor_messages(
     line_dot = jnp.sum(line * line, axis=-1, keepdims=True)
     safe_dot = jnp.where(line_dot > 0, line_dot, 1.0)
     t_cur = jnp.sum((x_pos - cur_s) * line, axis=-1, keepdims=True) / safe_dot
+    # Deliberate robustness divergence from tracking.rs:220-224 (same "TODO:
+    # FIX THE SWITCHING LOGIC" block as the blend-window cap below): the
+    # reference projects onto the INFINITE line through the segment. Once
+    # every record has clamped to the final segment (increment_record stops
+    # at len-2), variables still behind a short final segment project onto
+    # the line's backward extension — a phantom measurement point metres off
+    # the path that pulls at full saturated strength against the horizon
+    # pull, parking the robot short of its goal (observed on Solo GP's
+    # 3.3 m final segment, shorter than its switch-padding 5). Clamping to
+    # the segment is the nearest-point-on-path-segment geometry and is a
+    # no-op for the mid-segment case.
+    t_cur = jnp.clip(t_cur, 0.0, 1.0)
     proj_cur = cur_s + t_cur * line
 
     d_pad = switch_padding
@@ -656,7 +668,10 @@ def tracking_factor_messages(
     pline = prev_e - prev_s
     pline_dot = jnp.sum(pline * pline, axis=-1, keepdims=True)
     psafe = jnp.where(pline_dot > 0, pline_dot, 1.0)
-    t_prev = jnp.sum((x_pos - prev_s) * pline, axis=-1, keepdims=True) / psafe
+    t_prev = jnp.clip(
+        jnp.sum((x_pos - prev_s) * pline, axis=-1, keepdims=True) / psafe,
+        0.0, 1.0,
+    )
     proj_prev = prev_s + t_prev * pline
 
     cur_proj_to_prev_end = jnp.linalg.norm(prev_e - proj_cur, axis=-1)
@@ -664,22 +679,34 @@ def tracking_factor_messages(
 
     # Deliberate robustness divergence from tracking.rs:255-290 (whose own
     # comment reads "TODO: FIX THE SWITCHING LOGIC"): the blend window is
-    # capped at half the previous segment's length. With the reference's
-    # fixed window, a kink preceded by a segment shorter than the configured
-    # switch-padding (Solo GP ships padding 5.0) makes the blended
-    # measurement point mp = proj_cur + proj_prev - x pull PERMANENTLY
-    # backwards for variables a few meters past the corner, deadlocking the
-    # final approach against the horizon pull (robot parks short of its
-    # goal; observed on the Solo GP RRT* route). Capping by the local
-    # geometry keeps the corner smoothing on normally-spaced paths and
-    # removes the trap.
+    # capped at half of EACH adjoining segment's length. With the
+    # reference's fixed window, a segment shorter than the configured
+    # switch-padding (Solo GP ships padding 5.0 and RRT* routes with 3.3 m
+    # segments) keeps the corner blend engaged across the WHOLE segment:
+    # the blended measurement point mp = proj_cur + proj_prev - x pulls
+    # PERMANENTLY back toward the corner, deadlocking the robot against the
+    # horizon pull (parks short of its goal — observed both at mid-path
+    # kinks, round 4, and on the final approach when the last segment is
+    # short, round 5). Corner smoothing capped at both segment midpoints
+    # keeps the behavior on normally-spaced paths and removes the trap.
     prev_len = jnp.sqrt(pline_dot[..., 0])
-    blend_window = jnp.minimum(d_pad, 0.5 * prev_len)
+    cur_len = jnp.sqrt(line_dot[..., 0])
+    win_prev = jnp.minimum(d_pad, 0.5 * prev_len)
+    win_cur = jnp.minimum(d_pad, 0.5 * cur_len)
+    # prev_proj_to_prev_end > d_lo: with the segment-clamped projection a
+    # variable PAST the corner degenerates proj_prev to the corner point
+    # itself (distance 0) — blending there turns the measurement point into
+    # proj_cur - (x - corner), a permanent backward pull that pins the
+    # chain at the corner. Requiring the prev-projection to be genuinely
+    # interior to the previous segment keeps the blend to its purpose:
+    # smoothing the APPROACH to a corner, never holding a variable that is
+    # already past it.
     use_prev = (
         (rec > 0)
-        & (cur_proj_to_prev_end < blend_window)
+        & (cur_proj_to_prev_end < win_cur)
         & (cur_proj_to_prev_end > d_lo)
-        & (prev_proj_to_prev_end < blend_window)
+        & (prev_proj_to_prev_end > d_lo)
+        & (prev_proj_to_prev_end < win_prev)
     )
 
     # record increment (tracking.rs:292-296), clamped like increment_record

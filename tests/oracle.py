@@ -217,7 +217,11 @@ class Factor:
         rec = self.record
         cs, ce = path[rec], path[rec + 1]
         line = ce - cs
-        proj_cur = cs + (x_pos - cs) @ line / (line @ line) * line
+        # projection clamped to the SEGMENT (not the reference's infinite
+        # line, tracking.rs:220-224) — the framework's deliberate phantom-
+        # projection fix (see graph/factors.py); mirrored for lockstep.
+        t_c = np.clip((x_pos - cs) @ line / (line @ line), 0.0, 1.0)
+        proj_cur = cs + t_c * line
         d_lo = pad * 0.01
         cur_to_end = np.linalg.norm(ce - proj_cur)
 
@@ -225,15 +229,20 @@ class Factor:
         if rec > 0:
             ps, pe = path[rec - 1], path[rec]
             pline = pe - ps
-            pp = ps + (x_pos - ps) @ pline / (pline @ pline) * pline
+            t_p = np.clip((x_pos - ps) @ pline / (pline @ pline), 0.0, 1.0)
+            pp = ps + t_p * pline
             cur_to_prev_end = np.linalg.norm(pe - proj_cur)
             prev_to_prev_end = np.linalg.norm(cs - pp)
-            # blend window capped at half the previous segment length — the
-            # framework's deliberate robustness divergence from
+            # blend window capped at half of EACH adjoining segment length —
+            # the framework's deliberate robustness divergence from
             # tracking.rs:255-290 (see graph/factors.py tracking docstring);
             # mirrored here so oracle lockstep holds in the capped regime.
-            window = min(pad, 0.5 * float(np.linalg.norm(pline)))
-            if cur_to_prev_end < window and cur_to_prev_end > d_lo and prev_to_prev_end < window:
+            win_prev = min(pad, 0.5 * float(np.linalg.norm(pline)))
+            win_cur = min(pad, 0.5 * float(np.linalg.norm(line)))
+            if (
+                cur_to_prev_end < win_cur and cur_to_prev_end > d_lo
+                and prev_to_prev_end > d_lo and prev_to_prev_end < win_prev
+            ):
                 proj_prev = pp
 
         if cur_to_end < pad:
